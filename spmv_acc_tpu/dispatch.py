@@ -1,0 +1,167 @@
+"""Public SpMV API + runtime strategy picker.
+
+The reference picks its one strategy at *compile* time (#ifdef fan-out,
+src/acc/strategy_picker.cpp:19-65) plus a runtime meta-adaptive strategy
+(hip-adaptive/adaptive.cpp:16-67).  TPU-natively both collapse into one runtime
+dispatch: ``spmv(..., strategy=...)`` selects a jittable kernel family, and
+``strategy='adaptive'`` walks the reference's decision tree over host row statistics.
+Each (strategy, matrix-shape-bucket) pair JIT-specializes exactly once — the analog of
+the reference's explicit template-instantiation tables
+(hip-csr-adaptive-plus/csr_adaptive_plus_spmv.cpp:195-265).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_TUNE, FLAT_NNZ, IMBALANCE_RATIO, SHORT_ROW_AVG_NNZ, SMALL_NNZ, TuneConfig
+from .formats.containers import CSR, ELL, sparse_operation
+from .formats.convert import csr_to_ell_arrays, csr_transpose_arrays
+from .plan import Plan, get_plan
+from .ops import xla as _xla
+
+__all__ = ["Handle", "spmv", "pick_strategy", "STRATEGIES", "sparse_csr_spmv"]
+
+
+@dataclasses.dataclass
+class Handle:
+    """Profiling handle (SpMVAccHanele analog, src/acc/api/handle.h:8-13):
+    carries analyze/kernel phase times in µs out of a call."""
+
+    analyze_time_us: float = 0.0
+    kernel_time_us: float = 0.0
+    destroy_time_us: float = 0.0  # plan eviction; ~0 on TPU (GC'd), kept for parity
+    strategy_used: str = ""
+
+
+# ELL side-cache (host conversion is heavy; cache alongside the plan)
+_ELL_CACHE: dict = {}
+
+
+def _get_ell(csr: CSR, tune: TuneConfig) -> ELL:
+    key = (id(csr.row_ptr), csr.shape, csr.nnz, "ell", tune.ell_width_multiple)
+    e = _ELL_CACHE.get(key)
+    if e is None:
+        rp, ci, v, shape = csr.to_numpy()
+        ec, ev, _, _ = csr_to_ell_arrays(
+            rp, ci, v, shape, width_multiple=tune.ell_width_multiple
+        )
+        e = ELL(jnp.asarray(ec), jnp.asarray(ev), csr.shape)
+        _ELL_CACHE[key] = e
+    return e
+
+
+_T_CACHE: dict = {}
+
+
+def _get_transposed(csr: CSR) -> CSR:
+    key = (id(csr.row_ptr), csr.shape, csr.nnz, "T")
+    t = _T_CACHE.get(key)
+    if t is None:
+        rp, ci, v, shape = csr.to_numpy()
+        trp, tci, tv = csr_transpose_arrays(rp, ci, v, shape)
+        t = CSR.from_numpy(trp, tci, tv, (shape[1], shape[0]))
+        _T_CACHE[key] = t
+    return t
+
+
+def pick_strategy(plan: Plan) -> str:
+    """The reference's adaptive decision tree (hip-adaptive/adaptive.cpp:16-67),
+    re-tuned for TPU:
+
+    reference:                              TPU mapping:
+      ① half-nnz imbalance ≥ 4×   → weighted vector-row   → 'flat' (nnz splitting is
+                                                            the stronger balancer here)
+      ② avg nnz/row ≤ 4           → adaptive line          → 'line' (prefix-scan)
+      ③ nnz ≤ 0xC00000 (12.6M)    → line-enhance           → 'ell' when rows are
+                                                            near-uniform else 'flat'
+      ④ nnz > 2^23                → flat                   → 'flat'
+      ⑤ else                      → line-enhance           → 'flat'
+    """
+    s = plan.stats
+    if s.rows == 0 or s.nnz == 0:
+        return "default"
+    if s.half_imbalance >= IMBALANCE_RATIO:
+        return "flat"
+    if s.avg_nnz_per_row <= SHORT_ROW_AVG_NNZ:
+        return "line"
+    if s.nnz <= SMALL_NNZ:
+        # near-uniform rows: padded dense reduce wins; irregular: nnz splitting
+        if s.row_len_cv < 0.5 and s.max_nnz_per_row <= 4 * s.avg_nnz_per_row:
+            return "ell"
+        return "flat"
+    if s.nnz > FLAT_NNZ:
+        return "flat"
+    return "flat"
+
+
+def _run(strategy: str, alpha, beta, csr: CSR, x, y, plan: Plan):
+    if strategy == "default":
+        return _xla.spmv_default(alpha, beta, csr, x, y, plan)
+    if strategy == "line":
+        return _xla.spmv_line(alpha, beta, csr, x, y, plan)
+    if strategy == "ell":
+        ell = _get_ell(csr, plan.tune)
+        return _xla.spmv_ell(alpha, beta, ell, x, y, csr.rows)
+    if strategy == "flat":
+        from .ops import flat as _flat
+
+        return _flat.spmv_flat(alpha, beta, csr, x, y, plan)
+    if strategy == "vector_row":
+        from .ops import vector_row as _vr
+
+        return _vr.spmv_vector_row(alpha, beta, csr, x, y, plan)
+    raise ValueError(f"unknown strategy {strategy!r} (one of {sorted(STRATEGIES)})")
+
+
+STRATEGIES = {"adaptive", "default", "line", "ell", "flat", "vector_row"}
+
+
+def spmv(
+    csr: CSR,
+    x,
+    y=None,
+    alpha=1.0,
+    beta=0.0,
+    trans: str = sparse_operation.SPARSE_OPERATION_NON_TRANSPOSE,
+    strategy: str = "adaptive",
+    tune: TuneConfig = DEFAULT_TUNE,
+    handle: Optional[Handle] = None,
+):
+    """``y_out = alpha * op(A) @ x + beta * y`` — the public entry point
+    (analog of ``sparse_csr_spmv``, src/acc/api/spmv.h:20-21).
+
+    ``trans='T'`` computes A^T@x via a cached host transpose (the reference accepts
+    the flag but only implements 'N'; we implement both).
+    """
+    if strategy not in STRATEGIES:
+        raise ValueError(f"unknown strategy {strategy!r} (one of {sorted(STRATEGIES)})")
+    if trans == sparse_operation.SPARSE_OPERATION_TRANSPOSE or trans == "T":
+        csr = _get_transposed(csr)
+    m = csr.rows
+    if y is None:
+        y = jnp.zeros((m,), dtype=csr.values.dtype)
+        beta = 0.0
+    t0 = time.perf_counter()
+    plan = get_plan(csr, tune)
+    t1 = time.perf_counter()
+    chosen = pick_strategy(plan) if strategy == "adaptive" else strategy
+    out = _run(chosen, alpha, beta, csr, x, y, plan)
+    if handle is not None:
+        out.block_until_ready()
+        t2 = time.perf_counter()
+        handle.analyze_time_us = (t1 - t0) * 1e6
+        handle.kernel_time_us = (t2 - t1) * 1e6
+        handle.strategy_used = chosen
+    return out
+
+
+def sparse_csr_spmv(trans, alpha, beta, csr: CSR, x, y, strategy: str = "adaptive"):
+    """Signature-compatible shim mirroring the reference's public API
+    (src/acc/api/spmv.h:20-21): ``sparse_csr_spmv(trans, alpha, beta, desc, dx, dy)``."""
+    return spmv(csr, x, y, alpha=alpha, beta=beta, trans=trans, strategy=strategy)

@@ -1,0 +1,97 @@
+"""Per-strategy parametrized SpMV tests across row-length distributions — the test
+matrix SURVEY.md §4 calls for (the reference had only embedded golden checks)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spmv_acc_tpu import CSR, spmv
+from spmv_acc_tpu.dispatch import Handle, sparse_csr_spmv
+from spmv_acc_tpu.formats import (
+    banded_csr,
+    dense_row_outlier_csr,
+    powerlaw_csr,
+    random_csr,
+)
+from spmv_acc_tpu.formats.generate import random_x_y
+from spmv_acc_tpu.ops.golden import host_spmv
+from spmv_acc_tpu.utils.verify import verify_y
+
+MATRICES = {
+    "banded": lambda: banded_csr(200, bandwidth=5, seed=0),
+    "random": lambda: random_csr(150, 120, 1800, seed=1),
+    "powerlaw": lambda: powerlaw_csr(180, 180, avg_nnz=6, seed=2),
+    "outlier": lambda: dense_row_outlier_csr(128, 128, avg_nnz=3, n_dense=2, seed=3),
+    "short_rows": lambda: random_csr(300, 300, 600, seed=4),  # avg 2/row, empty rows
+    "tiny": lambda: random_csr(5, 7, 12, seed=5),
+    "single_row": lambda: random_csr(1, 64, 30, seed=6),
+}
+
+STRATEGIES = ["default", "line", "ell", "flat", "vector_row"]
+
+
+@pytest.mark.parametrize("matrix_name", sorted(MATRICES))
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_strategy_matches_golden(matrix_name, strategy):
+    csr = MATRICES[matrix_name]()
+    m, n = csr.shape
+    x, y = random_x_y(n, m, seed=11)
+    alpha, beta = 1.25, -0.5
+    golden = host_spmv(alpha, beta, *csr.to_numpy()[:3], x, y)
+    out = spmv(csr, jnp.asarray(x), jnp.asarray(y), alpha=alpha, beta=beta, strategy=strategy)
+    rep = verify_y(np.asarray(out), golden)
+    assert rep.ok, f"{strategy} on {matrix_name}: {rep}"
+
+
+@pytest.mark.parametrize("matrix_name", sorted(MATRICES))
+def test_adaptive_matches_golden(matrix_name):
+    csr = MATRICES[matrix_name]()
+    m, n = csr.shape
+    x, y = random_x_y(n, m, seed=12)
+    golden = host_spmv(1.0, 1.0, *csr.to_numpy()[:3], x, y)
+    handle = Handle()
+    out = spmv(csr, jnp.asarray(x), jnp.asarray(y), alpha=1.0, beta=1.0, handle=handle)
+    rep = verify_y(np.asarray(out), golden)
+    assert rep.ok, f"adaptive({handle.strategy_used}) on {matrix_name}: {rep}"
+    assert handle.strategy_used in {"default", "line", "ell", "flat", "vector_row"}
+    assert handle.kernel_time_us > 0
+
+
+def test_alpha_beta_semantics():
+    """True alpha/beta handling — the reference's line/flat kernels silently assume
+    beta == 1 (SURVEY.md §7.3); ours must honor arbitrary values everywhere."""
+    csr = random_csr(64, 64, 512, seed=7)
+    m, n = csr.shape
+    x, y = random_x_y(n, m, seed=13)
+    for alpha, beta in [(0.0, 2.0), (1.0, 0.0), (-3.5, 1.0), (2.0, -2.0)]:
+        golden = host_spmv(alpha, beta, *csr.to_numpy()[:3], x, y)
+        out = spmv(csr, jnp.asarray(x), jnp.asarray(y), alpha=alpha, beta=beta, strategy="line")
+        assert verify_y(np.asarray(out), golden).ok, (alpha, beta)
+
+
+def test_transpose():
+    csr = random_csr(50, 70, 400, seed=8)
+    x = np.random.default_rng(0).random(50)
+    from spmv_acc_tpu.formats.convert import csr_to_dense
+
+    dense = csr_to_dense(*csr.to_numpy())
+    golden = dense.T @ x
+    out = spmv(csr, jnp.asarray(x), trans="T", strategy="default")
+    assert verify_y(np.asarray(out), golden).ok
+
+
+def test_reference_shim_signature():
+    csr = random_csr(32, 32, 128, seed=9)
+    x, y = random_x_y(32, 32, seed=14)
+    out = sparse_csr_spmv("N", 1.0, 1.0, csr, jnp.asarray(x), jnp.asarray(y))
+    golden = host_spmv(1.0, 1.0, *csr.to_numpy()[:3], x, y)
+    assert verify_y(np.asarray(out), golden).ok
+
+
+def test_float32_path():
+    csr = random_csr(64, 64, 400, seed=10).astype(jnp.float32)
+    x, y = random_x_y(64, 64, seed=15, dtype=np.float32)
+    golden = host_spmv(1.0, 1.0, *csr.to_numpy()[:3], x, y)
+    out = spmv(csr, jnp.asarray(x), jnp.asarray(y), alpha=1.0, beta=1.0, strategy="line")
+    rep = verify_y(np.asarray(out), golden, dtype=np.float32)
+    assert rep.ok, rep
