@@ -19,6 +19,13 @@ import sys
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the tile kernel compiles one program per
+# (bucket, matrix shape); caching makes repeated bench runs cheap.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_spmv")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

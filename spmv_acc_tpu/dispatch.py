@@ -70,9 +70,15 @@ def _get_transposed(csr: CSR) -> CSR:
     return t
 
 
-def pick_strategy(plan: Plan) -> str:
+def pick_strategy(plan: Plan, csr: Optional[CSR] = None) -> str:
     """The reference's adaptive decision tree (hip-adaptive/adaptive.cpp:16-67),
-    re-tuned for TPU:
+    re-tuned for TPU.
+
+    On TPU hardware, the tiled lane-gather kernel (`adaptive_plus`) wins by ~60x over
+    the XLA gather-based paths whenever the (128x128)-window fill efficiency clears a
+    small threshold (padding < ~20x still beats XLA's 6.9 ns/nnz scalar gather), so
+    it is checked first; the XLA decision tree below is the fallback and the CPU
+    path:
 
     reference:                              TPU mapping:
       ① half-nnz imbalance ≥ 4×   → weighted vector-row   → 'flat' (nnz splitting is
@@ -86,6 +92,15 @@ def pick_strategy(plan: Plan) -> str:
     s = plan.stats
     if s.rows == 0 or s.nnz == 0:
         return "default"
+    if csr is not None:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from .ops.adaptive_plus import get_tile_plan
+
+            dp = get_tile_plan(csr, csr.values.dtype)
+            if dp.plan.fill_efficiency >= 0.05:
+                return "adaptive_plus"
     if s.half_imbalance >= IMBALANCE_RATIO:
         return "flat"
     if s.avg_nnz_per_row <= SHORT_ROW_AVG_NNZ:
@@ -116,10 +131,14 @@ def _run(strategy: str, alpha, beta, csr: CSR, x, y, plan: Plan):
         from .ops import vector_row as _vr
 
         return _vr.spmv_vector_row(alpha, beta, csr, x, y, plan)
+    if strategy == "adaptive_plus":
+        from .ops import adaptive_plus as _ap
+
+        return _ap.spmv_adaptive_plus(alpha, beta, csr, x, y, plan)
     raise ValueError(f"unknown strategy {strategy!r} (one of {sorted(STRATEGIES)})")
 
 
-STRATEGIES = {"adaptive", "default", "line", "ell", "flat", "vector_row"}
+STRATEGIES = {"adaptive", "default", "line", "ell", "flat", "vector_row", "adaptive_plus"}
 
 
 def spmv(
@@ -150,7 +169,7 @@ def spmv(
     t0 = time.perf_counter()
     plan = get_plan(csr, tune)
     t1 = time.perf_counter()
-    chosen = pick_strategy(plan) if strategy == "adaptive" else strategy
+    chosen = pick_strategy(plan, csr) if strategy == "adaptive" else strategy
     out = _run(chosen, alpha, beta, csr, x, y, plan)
     if handle is not None:
         out.block_until_ready()

@@ -1,0 +1,141 @@
+"""ctypes bindings to the native C++ host library (native/spmv_native.cpp), with
+transparent numpy fallbacks.
+
+The reference keeps its ingest/analyze hot loops in C++ (OpenMP parse,
+cli/csr_mtx_reader.hpp:116-162; sort, cli/sort_omp.hpp; analyze,
+csr_adaptive_plus_analyze.cpp); this module is the TPU build's equivalent.  The
+shared library is built lazily (``make -C native``) on first use; absence of a
+compiler degrades to the numpy paths without functional loss.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["get_lib", "parse_doubles", "coo_to_csr_native", "tile_analyze_native", "available"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libspmv_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"], capture_output=True, timeout=120
+        )
+        return r.returncode == 0 and os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.spmv_native_abi_version.restype = ctypes.c_int32
+            if lib.spmv_native_abi_version() != 1:
+                return None
+            lib.parse_doubles.restype = ctypes.c_int64
+            lib.parse_doubles.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.c_int32,
+            ]
+            lib.coo_to_csr.restype = ctypes.c_int32
+            lib.tile_analyze.restype = ctypes.c_int64
+            _lib = lib
+        except OSError:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def parse_doubles(text: bytes, expect_hint: int = 0, threads: int | None = None):
+    """Parse whitespace-separated numbers from bytes; returns float64 array or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    threads = threads or min(os.cpu_count() or 1, 8)
+    cap = max(expect_hint, len(text) // 2 + 16)
+    out = np.empty(cap, dtype=np.float64)
+    n = lib.parse_doubles(
+        text,
+        len(text),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cap,
+        threads,
+    )
+    if n < 0:
+        return None
+    return out[:n]
+
+
+def coo_to_csr_native(rows, cols, vals, m):
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    nnz = len(vals)
+    row_ptr = np.empty(m + 1, dtype=np.int32)
+    out_cols = np.empty(nnz, dtype=np.int32)
+    out_vals = np.empty(nnz, dtype=np.float64)
+    rc = lib.coo_to_csr(
+        rows.ctypes.data_as(ctypes.c_void_p),
+        cols.ctypes.data_as(ctypes.c_void_p),
+        vals.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(nnz),
+        ctypes.c_int32(m),
+        row_ptr.ctypes.data_as(ctypes.c_void_p),
+        out_cols.ctypes.data_as(ctypes.c_void_p),
+        out_vals.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return row_ptr, out_cols, out_vals
+
+
+def tile_analyze_native(row_ptr, col_idx, m, nct):
+    """Returns (elem_block i64, elem_slot i32, block_keys i64, block_depth i32)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int32)
+    col_idx = np.ascontiguousarray(col_idx, dtype=np.int32)
+    nnz = int(row_ptr[-1])
+    elem_block = np.empty(nnz, dtype=np.int64)
+    elem_slot = np.empty(nnz, dtype=np.int32)
+    block_keys = np.empty(max(nnz, 1), dtype=np.int64)
+    block_depth = np.empty(max(nnz, 1), dtype=np.int32)
+    nb = lib.tile_analyze(
+        row_ptr.ctypes.data_as(ctypes.c_void_p),
+        col_idx.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int32(m),
+        ctypes.c_int32(nct),
+        elem_block.ctypes.data_as(ctypes.c_void_p),
+        elem_slot.ctypes.data_as(ctypes.c_void_p),
+        block_keys.ctypes.data_as(ctypes.c_void_p),
+        block_depth.ctypes.data_as(ctypes.c_void_p),
+    )
+    return elem_block, elem_slot, block_keys[:nb], block_depth[:nb]

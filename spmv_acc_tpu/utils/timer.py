@@ -62,7 +62,9 @@ def _sink(carry):
     leaf = jax.tree_util.tree_leaves(carry)[0]
     import numpy as np
 
-    np.asarray(jax.device_get(leaf[..., :1]))
+    if getattr(leaf, "ndim", 0) > 0:
+        leaf = leaf[..., :1]
+    np.asarray(jax.device_get(leaf))
 
 
 def time_chained(step_fn, init, iters: int = 50, baseline_iters: int = 3):
