@@ -30,7 +30,7 @@ except Exception:
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from spmv_acc_tpu.dispatch import Handle, spmv  # noqa: E402
+from spmv_acc_tpu.dispatch import Handle, make_spmv_fn, spmv  # noqa: E402
 from spmv_acc_tpu.formats.generate import EXAMPLE_SHAPES, example_like, random_x_y  # noqa: E402
 from spmv_acc_tpu.ops.golden import host_spmv  # noqa: E402
 from spmv_acc_tpu.utils.stats import (  # noqa: E402
@@ -56,13 +56,18 @@ def bench_matrix(name: str, log):
     dx = jnp.asarray(x)
     dy = jnp.asarray(y0)
 
-    handle = Handle()
-    out = spmv(csr, dx, dy, alpha=1.0, beta=1.0, handle=handle)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    fn, chosen = make_spmv_fn(csr, alpha=1.0, beta=1.0, strategy="adaptive")
+    analyze_us = (_time.perf_counter() - t0) * 1e6
+    out = fn(dx, dy)
     hy = np.asarray(out)
     golden = host_spmv(1.0, 1.0, *csr.to_numpy()[:3], x, y0)
     rep = verify_y(hy, golden, dtype=DTYPE)
+    handle = Handle(analyze_time_us=analyze_us, strategy_used=chosen)
 
-    step = lambda y: spmv(csr, dx, y, alpha=1.0, beta=1.0)
+    step = lambda y: fn(dx, y)
     per_us, _ = time_chained(step, dy, iters=ITERS, baseline_iters=10)
 
     peak = chip_peak_gbs()

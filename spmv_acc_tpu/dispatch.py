@@ -99,7 +99,9 @@ def pick_strategy(plan: Plan, csr: Optional[CSR] = None) -> str:
             from .ops.adaptive_plus import get_tile_plan
 
             dp = get_tile_plan(csr, csr.values.dtype)
-            if dp.plan.fill_efficiency >= 0.05:
+            # padding ~1/eff amplifies the tile kernel's ~0.1 ns/slot; it still beats
+            # the XLA paths (~7 ns/nnz) down to eff ~0.015 — gate with margin.
+            if dp.x_fits_vmem and dp.plan.fill_efficiency >= 0.02:
                 return "adaptive_plus"
     if s.half_imbalance >= IMBALANCE_RATIO:
         return "flat"
@@ -178,6 +180,43 @@ def spmv(
         handle.kernel_time_us = (t2 - t1) * 1e6
         handle.strategy_used = chosen
     return out
+
+
+_FN_CACHE: dict = {}
+
+
+def make_spmv_fn(
+    csr: CSR,
+    alpha=1.0,
+    beta=1.0,
+    strategy: str = "adaptive",
+    tune: TuneConfig = DEFAULT_TUNE,
+):
+    """Build a fused, jitted ``step(x, y) -> y_out`` with the plan baked in.
+
+    ``spmv()`` is convenient but performs Python-side dispatch per call (plan lookup,
+    x preparation, one launch per bucket) — tens of device dispatches per iteration,
+    which dominates on tunneled platforms.  Iterative callers (CG, benchmarks)
+    should build this once: the entire strategy (including all Pallas bucket calls
+    and the alpha/beta combine) compiles into ONE XLA program.
+
+    Returns (jitted_fn, chosen_strategy_name).
+    """
+    plan = get_plan(csr, tune)
+    chosen = pick_strategy(plan, csr) if strategy == "adaptive" else strategy
+    key = (id(csr.row_ptr), csr.shape, csr.nnz, float(alpha), float(beta), chosen)
+    hit = _FN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    import jax
+
+    def step(x, y):
+        return _run(chosen, alpha, beta, csr, x, y, plan)
+
+    fn = jax.jit(step)
+    _FN_CACHE[key] = (fn, chosen)
+    return fn, chosen
 
 
 def sparse_csr_spmv(trans, alpha, beta, csr: CSR, x, y, strategy: str = "adaptive"):

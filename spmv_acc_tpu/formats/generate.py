@@ -119,25 +119,44 @@ def example_like(name: str, seed: int = 7, dtype=np.float64) -> CSR:
     """A deterministic matrix with the same (rows, cols, nnz) as a reference example.
 
     The lfs stubs mean the true data is unavailable; this regenerates a matrix of
-    identical published dimensions (examples/batch.sh:24-50) with banded+random
-    structure so avg nnz/row — the picker's main statistic — matches.
+    identical published dimensions (examples/batch.sh:24-50).  Structure mimics the
+    real matrices' character: SuiteSparse matrices (circuit/FEM/structural problems,
+    e.g. rajat03, bcsstk18) are overwhelmingly *locality-friendly* — entries cluster
+    near the diagonal with a heavy-tailed spread — so the stand-in draws column
+    offsets from a Laplace-like distribution (scale ~1% of n) plus a small
+    uniform-random tail, rather than uniformly at random.
     """
     m, n, nnz = EXAMPLE_SHAPES[name]
     rng = np.random.default_rng(seed)
-    # diagonal band covers locality; the remainder is uniform random
+    # diagonal band guarantees a full diagonal neighborhood
     band_nnz = min(nnz, 3 * m)
     rows_b = np.repeat(np.arange(m), 3)[:band_nnz]
     offs = np.tile(np.array([-1, 0, 1]), m)[:band_nnz]
     cols_b = np.clip(rows_b + offs, 0, n - 1)
     rest = nnz - band_nnz
-    k = int(rest * 1.4) + 16
+    k = int(rest * 2.5) + 64
     rows_r = rng.integers(0, m, k)
-    cols_r = rng.integers(0, n, k)
+    # ~95% near-diagonal (Laplace, scale 1% of n), 5% global scatter
+    scale = max(n // 100, 4)
+    lap = rng.laplace(0.0, scale, k).astype(np.int64)
+    cols_near = np.clip(rows_r * n // max(m, 1) + lap, 0, n - 1)
+    cols_far = rng.integers(0, n, k)
+    far = rng.random(k) < 0.05
+    cols_r = np.where(far, cols_far, cols_near)
     rows = np.concatenate([rows_b, rows_r]).astype(np.int64)
     cols = np.concatenate([cols_b, cols_r]).astype(np.int64)
     key = rows * n + cols
     _, idx = np.unique(key, return_index=True)
-    idx = np.sort(idx)[:nnz]
+    idx = np.sort(idx)
+    while len(idx) < nnz:  # clustering raises collision rate; top up uniformly
+        extra_r = rng.integers(0, m, nnz)
+        extra_c = rng.integers(0, n, nnz)
+        rows = np.concatenate([rows[idx], extra_r])
+        cols = np.concatenate([cols[idx], extra_c])
+        key = rows * n + cols
+        _, idx = np.unique(key, return_index=True)
+        idx = np.sort(idx)
+    idx = idx[:nnz]
     rows, cols = rows[idx], cols[idx]
     vals = (rng.random(len(rows)) * 2.0 - 1.0).astype(dtype)
     return _finish(rows, cols, vals, (m, n))

@@ -29,7 +29,11 @@ __all__ = ["TileBucket", "TilePlan", "build_tile_plan", "BUCKETS"]
 
 LANES = 128  # rows per block
 COL_WINDOW = 128
-BUCKETS = (8, 16, 32, 64, 128)
+# Padded sublane depths.  Depths below 8 are legal block shapes because the slab
+# array's own sublane dim equals the block's (Mosaic's "equal to the respective
+# dimension" rule) and they matter: scattered matrices have mostly depth-1..4
+# windows, where a depth-8 floor would waste 2-8x HBM traffic.
+BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
 
 @dataclasses.dataclass(frozen=True)

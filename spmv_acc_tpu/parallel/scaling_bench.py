@@ -1,0 +1,90 @@
+"""Weak-scaling benchmark for distributed SpMV / CG (BASELINE.json config 5).
+
+Weak scaling: per-device problem size is fixed; the matrix grows with the device
+count.  Reports nnz/s per device count and parallel efficiency vs 1 device.  Runs on
+whatever mesh is available: real multi-chip hardware when present, otherwise the
+virtual CPU mesh (``--xla_force_host_platform_device_count``), which validates the
+sharding/collective structure (compile + execute) even though CPU timings are not
+TPU projections.
+
+Usage: python -m spmv_acc_tpu.parallel.scaling_bench [--devices 1,2,4,8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def run_weak_scaling(device_counts, rows_per_device=4096, avg_nnz=16, iters=20, dtype=np.float64):
+    import jax
+    import jax.numpy as jnp
+
+    from ..formats.generate import banded_csr
+    from ..formats.containers import CSR
+    from ..formats.convert import coo_to_csr_arrays, csr_to_dense
+    from ..parallel import make_mesh, partition_rows, shard_partitioned, pad_vector
+    from ..models.cg import dist_cg_solve
+    from ..utils.timer import time_chained
+    from .dist_spmv import dist_spmv_fn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    results = []
+    base_rate = None
+    for d in device_counts:
+        if d > len(jax.devices()):
+            print(f"skip D={d}: only {len(jax.devices())} devices", file=sys.stderr)
+            continue
+        m = rows_per_device * d
+        csr = banded_csr(m, bandwidth=min(avg_nnz | 1, m), seed=11, dtype=dtype)
+        mesh = make_mesh(d)
+        part = partition_rows(csr, d, balance=False)
+        part = shard_partitioned(part, mesh)
+        run, x_pad = dist_spmv_fn(mesh, part)
+        x = jnp.zeros((d * x_pad,), dtype=csr.values.dtype)
+        x = jax.device_put(x.at[: csr.cols].set(1.0), NamedSharding(mesh, P("x")))
+
+        def step(x):
+            y = run(part.values, part.col_idx, part.row_ids, x)
+            # renormalised feedback keeps the chain honest without divergence
+            flat = y.reshape(-1)[: d * x_pad]
+            return flat * (1.0 / jnp.maximum(jnp.max(jnp.abs(flat)), 1e-30))
+
+        per_us, _ = time_chained(step, x, iters=iters, baseline_iters=max(2, iters // 10))
+        rate = csr.nnz / (per_us * 1e-6) if per_us > 0 else 0.0
+        per_dev = rate / d
+        if base_rate is None:
+            base_rate = per_dev
+        eff = per_dev / base_rate if base_rate else 0.0
+        results.append(
+            dict(devices=d, rows=m, nnz=csr.nnz, us_per_spmv=round(per_us, 1),
+                 nnz_per_s=round(rate), efficiency=round(eff, 4))
+        )
+        print(
+            f"D={d}: m={m} nnz={csr.nnz} {per_us:.0f}us/spmv "
+            f"{rate/1e6:.1f}M nnz/s eff={eff:.2%}",
+            file=sys.stderr,
+        )
+    return results
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="scaling-bench")
+    p.add_argument("--devices", default="1,2,4,8")
+    p.add_argument("--rows-per-device", type=int, default=4096)
+    p.add_argument("--avg-nnz", type=int, default=16)
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args(argv)
+    counts = [int(c) for c in args.devices.split(",")]
+    results = run_weak_scaling(counts, args.rows_per_device, args.avg_nnz, args.iters)
+    print(json.dumps({"weak_scaling": results}))
+    if len(results) >= 2:
+        return 0 if results[-1]["efficiency"] >= 0.5 else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

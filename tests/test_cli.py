@@ -92,3 +92,15 @@ def test_ssdl_gen(tmp_path, capsys):
 def test_bucket_of():
     assert bucket_of(500) == "1k"
     assert bucket_of(5_000_000) == "10M"
+
+
+def test_benchmark_harness(csr_file, capsys):
+    from spmv_acc_tpu.cli.benchmark import main as bench_main
+
+    rc = bench_main([csr_file, "-f", "csr", "--iters", "3", "--warmups", "1",
+                     "--engines", "spmv-acc-line,numpy-cpu"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l.startswith("PERFORMANCE,") and "matrix,strategy" not in l]
+    assert len(lines) == 2
+    assert out.startswith("PERFORMANCE,matrix,strategy")
