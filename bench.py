@@ -40,7 +40,7 @@ from spmv_acc_tpu.utils.stats import (  # noqa: E402
     flops,
     print_statistics,
 )
-from spmv_acc_tpu.utils.timer import time_chained  # noqa: E402
+from spmv_acc_tpu.utils.timer import time_device_loop  # noqa: E402
 from spmv_acc_tpu.utils.verify import verify_y  # noqa: E402
 
 CORPUS = ["rajat03", "poli_large", "dw4096", "bayer10", "epb1", "bcsstk18", "coater2", "nemeth03", "af23560"]
@@ -67,8 +67,13 @@ def bench_matrix(name: str, log):
     rep = verify_y(hy, golden, dtype=DTYPE)
     handle = Handle(analyze_time_us=analyze_us, strategy_used=chosen)
 
-    step = lambda y: fn(dx, y)
-    per_us, _ = time_chained(step, dy, iters=ITERS, baseline_iters=10)
+    # power-iteration chain: x feeds back through a cheap normalize, so the SpMV
+    # cannot be hoisted out of the on-device loop (the CG access pattern).
+    def step(x):
+        ax = fn(x, dy)
+        return ax * jax.lax.rsqrt(jnp.mean(ax * ax) + 1e-30)
+
+    per_us, _ = time_device_loop(step, dx, iters=ITERS)
 
     peak = chip_peak_gbs()
     b = bytes_moved(m, csr.nnz, np.dtype(DTYPE).itemsize)

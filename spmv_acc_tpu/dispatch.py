@@ -96,13 +96,13 @@ def pick_strategy(plan: Plan, csr: Optional[CSR] = None) -> str:
         import jax
 
         if jax.default_backend() == "tpu":
-            from .ops.adaptive_plus import get_tile_plan
+            from .ops.swell import get_swell_plan
 
-            dp = get_tile_plan(csr, csr.values.dtype)
-            # padding ~1/eff amplifies the tile kernel's ~0.1 ns/slot; it still beats
-            # the XLA paths (~7 ns/nnz) down to eff ~0.015 — gate with margin.
-            if dp.x_fits_vmem and dp.plan.fill_efficiency >= 0.02:
-                return "adaptive_plus"
+            dp = get_swell_plan(csr, csr.values.dtype)
+            # padding ~1/eff amplifies the swell kernel's per-slot cost; it still
+            # beats the XLA paths (~7 ns/nnz) down to eff ~0.01 — gate with margin.
+            if dp.plan.fill_efficiency >= 0.02:
+                return "swell"
     if s.half_imbalance >= IMBALANCE_RATIO:
         return "flat"
     if s.avg_nnz_per_row <= SHORT_ROW_AVG_NNZ:
@@ -137,10 +137,14 @@ def _run(strategy: str, alpha, beta, csr: CSR, x, y, plan: Plan):
         from .ops import adaptive_plus as _ap
 
         return _ap.spmv_adaptive_plus(alpha, beta, csr, x, y, plan)
+    if strategy == "swell":
+        from .ops import swell as _swell
+
+        return _swell.spmv_swell(alpha, beta, csr, x, y, plan)
     raise ValueError(f"unknown strategy {strategy!r} (one of {sorted(STRATEGIES)})")
 
 
-STRATEGIES = {"adaptive", "default", "line", "ell", "flat", "vector_row", "adaptive_plus"}
+STRATEGIES = {"adaptive", "default", "line", "ell", "flat", "vector_row", "adaptive_plus", "swell"}
 
 
 def spmv(

@@ -1,0 +1,462 @@
+"""`swell` strategy: Sliced-Window-ELL Pallas SpMV — the flagship kernel (v2 of the
+tile engine; supersedes `adaptive_plus` as the adaptive default on TPU).
+
+Kernel shape (one grid step = 128 sublanes × 128 lanes of nnz slots, one depth-D
+bucket per pallas_call; see ops/swell_plan.py for the decomposition):
+
+  1. **x-table build**: ``table = onehot @ chunk`` — an MXU matmul with a one-hot
+     (128×128) selector picks each sublane's 128-column x window out of the step's
+     16384-column x chunk.  One-hot weights make the bf16x3 (Precision.HIGH) matmul
+     bit-exact, so no precision is lost.  This replaces the per-slab dynamic-slice
+     loop of the v1 kernel (~15 cycles/slab) with one MXU op.
+  2. **gather**: one (128,128) lane-permutation gather fetches x per slot — the one
+     gather Mosaic lowers natively.
+  3. **product + fold**: elementwise products, then log2(D) *contiguous-half* fold
+     levels (slot-major interleaved sublane order makes every level a static
+     half-slice add) reduce each slab to its per-row partial sums.
+  4. **scatter**: ``T @ folded`` with a one-hot T built from an iota==rbvec compare
+     scatters the P slab results into the (128 row-blocks × 128 lanes) output tile.
+     The plan guarantees ≤1 slab per row-block per step, so every output element has
+     a single summand — the f32 MXU accumulation is exact, which the compensated f64
+     path requires.
+  5. **accumulate**: the output tile is revisited across consecutive steps
+     (VMEM-resident); f64 uses a compensated (hi, err) accumulator pair.
+
+float64 runs as "df64-lite": values and x are split hi/lo on host/device; products
+use Dekker's FMA-free two_prod (no FMA primitive exists in Pallas); the fold carries
+(hi, err) with first-order error capture.  End-to-end accuracy ~1e-13 relative —
+far inside the reference's rel-1e-7 gate (cli/verification.cpp:43-54).
+
+Reference lineage: csr-adaptive-plus (hip-csr-adaptive-plus/csr_adaptive_plus_spmv_imp.inl:121-206)
+for the analyze-then-bounded-blocks economics; flat (hip-flat/flat_reduce.hpp) for
+nnz-balanced steps — but the mechanism is TPU-native (MXU one-hot algebra + lane
+gathers + sequential-grid accumulation instead of atomics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .swell_plan import CHUNK_W, CW, LANES, ROUT, SwellPlan, build_swell_plan
+from .xla import axpby_finish
+
+__all__ = ["spmv_swell", "get_swell_plan", "swell_spmv_f32", "swell_spmv_f64"]
+
+_Z = np.int32(0)
+_HIGH = jax.lax.Precision.HIGHEST  # full-f32 passes — bit-exact for one-hot operands (Mosaic supports DEFAULT/HIGHEST only)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _lane_gather(table, idx):
+    """out[i, j] = table[i, idx[i, j]] — per-sublane lane permutation (int32 idx)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(),
+        collapsed_slice_dims=(1,),
+        start_index_map=(1,),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        table,
+        idx[..., None],
+        dnums,
+        slice_sizes=(1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), precision=_HIGH,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _build_T(rb_row, P):
+    """One-hot scatter matrix T[r, p] = (rbvec[p] == r), (128, P) f32."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ROUT, P), 0)
+    rb = jnp.broadcast_to(rb_row[:, :P], (ROUT, P))
+    return (iota == rb).astype(jnp.float32)
+
+
+# ------------------------------------------------------------------- kernels
+
+
+def _make_f32_kernel(log2d: int):
+    P = 128 >> log2d
+
+    def kernel(csel_r, osel_r, first_r, vals_ref, lidx_ref, oh_ref, rb_ref, chunk_ref, o_ref):
+        s = pl.program_id(0)
+        oh = oh_ref[0].astype(jnp.float32)
+        table = _dot(oh, chunk_ref[0])
+        g = _lane_gather(table, lidx_ref[0].astype(jnp.int32))
+        p = vals_ref[0] * g
+        for _ in range(log2d):
+            half = p.shape[0] // 2
+            p = p[:half] + p[half:]
+        T = _build_T(rb_ref[0], P)
+        contrib = _dot(T, p)
+        first = first_r[s]
+
+        @pl.when(first == 1)
+        def _():
+            o_ref[0] = contrib
+
+        @pl.when(first == 0)
+        def _():
+            o_ref[0] = o_ref[0] + contrib
+
+    return kernel
+
+
+def _split(a):
+    """Dekker split of f32 into two 12-bit-mantissa halves."""
+    c = np.float32(4097.0) * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _make_f64_kernel(log2d: int):
+    P = 128 >> log2d
+
+    def kernel(
+        csel_r, osel_r, first_r,
+        vh_ref, vl_ref, lidx_ref, oh_ref, rb_ref, ch_ref, cl_ref,
+        ohi_ref, oerr_ref,
+    ):
+        s = pl.program_id(0)
+        oh = oh_ref[0].astype(jnp.float32)
+        th = _dot(oh, ch_ref[0])
+        tl = _dot(oh, cl_ref[0])
+        idx = lidx_ref[0].astype(jnp.int32)
+        gh = _lane_gather(th, idx)
+        gl = _lane_gather(tl, idx)
+        vh = vh_ref[0]
+        vl = vl_ref[0]
+        # Dekker two_prod (FMA-free) + first-order cross terms
+        p = vh * gh
+        ah, al = _split(vh)
+        bh, bl = _split(gh)
+        e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        e = e + (vh * gl + vl * gh)
+        # compensated contiguous-half fold: log2(D) levels.  Knuth 2Sum (ordering-free;
+        # Fast2Sum needs |a|>=|b| which does not hold for arbitrary partial sums).
+        for _ in range(log2d):
+            half = p.shape[0] // 2
+            a, b = p[:half], p[half:]
+            ssum = a + b
+            bb = ssum - a
+            err = (a - (ssum - bb)) + (b - bb)
+            e = e[:half] + e[half:] + err
+            p = ssum
+        T = _build_T(rb_ref[0], P)
+        ph = _dot(T, p)   # exact: one-hot, <=1 summand per output row
+        pe = _dot(T, e)
+        first = first_r[s]
+
+        @pl.when(first == 1)
+        def _():
+            ohi_ref[0] = ph
+            oerr_ref[0] = pe
+
+        @pl.when(first == 0)
+        def _():
+            cur = ohi_ref[0]
+            ssum = cur + ph
+            bb = ssum - cur
+            err = (cur - (ssum - bb)) + (ph - bb)
+            ohi_ref[0] = ssum
+            oerr_ref[0] = oerr_ref[0] + pe + err
+
+    return kernel
+
+
+# ----------------------------------------------------------------- wrappers
+#
+# Two execution paths:
+#  * TPU: output tile indexed by the prefetched out-window id (osel[s]) —
+#    consecutive steps accumulate into the VMEM-resident tile (first==0 branch).
+#  * interpret (CPU tests): Pallas interpret mode under PrefetchScalarGridSpec
+#    evaluates kernel arithmetic with EXCESS PRECISION (verified with a minimal
+#    repro: `p[:64] + p[64:]` does not equal fl(a+b) of the materialized p; the
+#    effect survives optimization_barrier / bitcast / scratch round-trips; jax
+#    0.8).  Excess precision silently voids compensated-f32 error capture, so the
+#    interpret path computes NATIVELY IN THE SOURCE DTYPE (f64 on CPU) with
+#    per-step outputs + an exact f64 segment-sum outside.  That validates every
+#    structural piece (plan, one-hot table algebra, gather, fold pairing, scatter)
+#    bit-exactly; the two-f32 compensation itself is validated on real TPU
+#    hardware (bench.py golden verify + tools/verify_tpu.py).
+
+
+def _make_native_steps_kernel(log2d: int, dtype):
+    P = 128 >> log2d
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
+        )
+
+    def kernel(csel_r, osel_r, first_r, vals_ref, lidx_ref, oh_ref, rb_ref, chunk_ref, o_ref):
+        oh = oh_ref[0].astype(dtype)
+        table = dot(oh, chunk_ref[0])
+        g = _lane_gather(table, lidx_ref[0].astype(jnp.int32))
+        p = vals_ref[0] * g
+        for _ in range(log2d):
+            half = p.shape[0] // 2
+            p = p[:half] + p[half:]
+        o_ref[0] = dot(_build_T(rb_ref[0], P).astype(dtype), p)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("log2d", "nout"))
+def _call_native_interp(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d, nout):
+    """Interpret-mode path: per-step outputs in the source dtype, summed exactly."""
+    nsteps = vals.shape[0]
+    dtype = vals.dtype
+    spec3 = lambda s, *_: (s, _Z, _Z)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z)),
+            pl.BlockSpec((1, 128, 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+        ],
+        out_specs=pl.BlockSpec((1, ROUT, 128), spec3),
+    )
+    per_step = pl.pallas_call(
+        _make_native_steps_kernel(log2d, dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nsteps, ROUT, 128), dtype),
+        interpret=True,
+    )(csel, osel, first, vals, lidx, oh, rbvec, chunks)
+    return jax.ops.segment_sum(per_step.reshape(nsteps, -1), osel, num_segments=nout).reshape(
+        nout, ROUT, 128
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("log2d", "nout", "interpret"))
+def _call_f32(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d, nout, interpret):
+    nsteps = vals.shape[0]
+    spec3 = lambda s, *_: (s, _Z, _Z)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z)),
+            pl.BlockSpec((1, 128, 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+        ],
+        out_specs=pl.BlockSpec((1, ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
+    )
+    return pl.pallas_call(
+        _make_f32_kernel(log2d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nout, ROUT, 128), jnp.float32),
+        interpret=interpret,
+    )(csel, osel, first, vals, lidx, oh, rbvec, chunks)
+
+
+@functools.partial(jax.jit, static_argnames=("log2d", "nout", "interpret"))
+def _call_f64(csel, osel, first, vh, vl, lidx, oh, rbvec, ch, cl, log2d, nout, interpret):
+    nsteps = vh.shape[0]
+    spec3 = lambda s, *_: (s, _Z, _Z)
+    cspec = lambda s, csel, *_: (csel[s], _Z, _Z)
+    ospec = lambda s, csel, osel, *_: (osel[s], _Z, _Z)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z)),
+            pl.BlockSpec((1, 128, 128), cspec),
+            pl.BlockSpec((1, 128, 128), cspec),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ROUT, 128), ospec),
+            pl.BlockSpec((1, ROUT, 128), ospec),
+        ],
+    )
+    return pl.pallas_call(
+        _make_f64_kernel(log2d),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nout, ROUT, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nout, ROUT, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(csel, osel, first, vh, vl, lidx, oh, rbvec, ch, cl)
+
+
+class _DeviceSwellPlan:
+    """Device-resident packed slabs + prefetch arrays for all buckets of one matrix."""
+
+    def __init__(self, plan: SwellPlan, dtype):
+        self.plan = plan
+        self.dtype = np.dtype(dtype)
+        self.nout = plan.nout
+        self.nchunks = plan.nchunks
+        self._host_buckets = plan.buckets  # for the interpret (native-dtype) path
+        self.buckets = []
+        for bk in plan.buckets:
+            if self.dtype == np.float64:
+                vh = bk.values.astype(np.float32)
+                vl = (bk.values - vh.astype(np.float64)).astype(np.float32)
+                vals = (jnp.asarray(vh), jnp.asarray(vl))
+            else:
+                vals = (jnp.asarray(bk.values.astype(np.float32)),)
+            self.buckets.append(
+                dict(
+                    log2d=int(np.log2(bk.depth)),
+                    vals=vals,
+                    lidx=jnp.asarray(bk.lidx),
+                    oh=jnp.asarray(bk.onehot),
+                    rbvec=jnp.asarray(bk.rbvec)[:, None, :],
+                    csel=jnp.asarray(bk.chunksel),
+                    osel=jnp.asarray(bk.outsel),
+                    first=jnp.asarray(bk.first),
+                    touched=jnp.asarray(bk.touched),
+                )
+            )
+
+    def prep_x(self, x):
+        n_pad = self.nchunks * CHUNK_W * CW
+        if self.dtype == np.float64:
+            x64 = x.astype(jnp.float64)
+            xh = x64.astype(jnp.float32)
+            xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
+            xh = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xh)
+            xl = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xl)
+            return (
+                xh.reshape(self.nchunks, CHUNK_W, CW),
+                xl.reshape(self.nchunks, CHUNK_W, CW),
+            )
+        xp = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(x.astype(jnp.float32))
+        return (xp.reshape(self.nchunks, CHUNK_W, CW),)
+
+    def prep_x_native(self, x):
+        n_pad = self.nchunks * CHUNK_W * CW
+        dt = jnp.float64 if self.dtype == np.float64 else jnp.float32
+        xp = jnp.zeros((n_pad,), dt).at[: x.shape[0]].set(x.astype(dt))
+        return xp.reshape(self.nchunks, CHUNK_W, CW)
+
+    def native_vals(self, i):
+        b = self.buckets[i]
+        if "vals_native" not in b:
+            b["vals_native"] = jnp.asarray(self._host_buckets[i].values)
+        return b["vals_native"]
+
+
+_SWELL_CACHE: dict = {}
+
+
+def get_swell_plan(csr, dtype) -> _DeviceSwellPlan:
+    key = (id(csr.row_ptr), csr.shape, csr.nnz, "swell", np.dtype(dtype).str)
+    hit = _SWELL_CACHE.get(key)
+    # the cached entry holds a reference to the keyed array so its id() cannot be
+    # recycled by the allocator while the entry lives
+    if hit is not None and hit[0] is csr.row_ptr:
+        return hit[1]
+    rp, ci, v, shape = csr.to_numpy()
+    dp = _DeviceSwellPlan(build_swell_plan(rp, ci, v, shape), dtype)
+    _SWELL_CACHE[key] = (csr.row_ptr, dp)
+    return dp
+
+
+def swell_spmv_f32(dp: _DeviceSwellPlan, x):
+    """A@x in f32; returns (m,) f32."""
+    interp = _interpret()
+    if interp:
+        chunks_nat = dp.prep_x_native(x)
+        total = None
+        for i, b in enumerate(dp.buckets):
+            o = _call_native_interp(
+                b["csel"], b["osel"], b["first"], dp.native_vals(i), b["lidx"], b["oh"],
+                b["rbvec"], chunks_nat, b["log2d"], dp.nout,
+            )
+            total = o if total is None else total + o
+        if total is None:
+            return jnp.zeros((dp.plan.rows,), jnp.float32)
+        p = dp.plan
+        total = total.reshape(p.nout, p.tile_rb, p.copies, 128).sum(axis=2)
+        return total.reshape(-1)[: dp.plan.rows].astype(jnp.float32)
+    (chunks,) = dp.prep_x(x)
+    total = None
+    for b in dp.buckets:
+        o = _call_f32(
+            b["csel"], b["osel"], b["first"], b["vals"][0], b["lidx"], b["oh"],
+            b["rbvec"], chunks, b["log2d"], dp.nout, False,
+        )
+        o = jnp.where(b["touched"][:, None, None], o, 0.0)
+        total = o if total is None else total + o
+    if total is None:
+        return jnp.zeros((dp.plan.rows,), jnp.float32)
+    p = dp.plan
+    total = total.reshape(p.nout, p.tile_rb, p.copies, 128).sum(axis=2)
+    return total.reshape(-1)[: dp.plan.rows]
+
+
+def swell_spmv_f64(dp: _DeviceSwellPlan, x):
+    """A@x in compensated two-f32; returns (m,) f64."""
+    interp = _interpret()
+    if interp:
+        chunks_nat = dp.prep_x_native(x)
+        total = None
+        for i, b in enumerate(dp.buckets):
+            o = _call_native_interp(
+                b["csel"], b["osel"], b["first"], dp.native_vals(i), b["lidx"], b["oh"],
+                b["rbvec"], chunks_nat, b["log2d"], dp.nout,
+            )
+            total = o if total is None else total + o
+        if total is None:
+            return jnp.zeros((dp.plan.rows,), jnp.float64)
+        p = dp.plan
+        total = total.reshape(p.nout, p.tile_rb, p.copies, 128).sum(axis=2)
+        return total.reshape(-1)[: dp.plan.rows]
+    ch, cl = dp.prep_x(x)
+    total = None
+    for b in dp.buckets:
+        ohi, oerr = _call_f64(
+            b["csel"], b["osel"], b["first"], b["vals"][0], b["vals"][1], b["lidx"],
+            b["oh"], b["rbvec"], ch, cl, b["log2d"], dp.nout, False,
+        )
+        mask = b["touched"][:, None, None]
+        part = jnp.where(mask, ohi, 0.0).astype(jnp.float64) + jnp.where(
+            mask, oerr, 0.0
+        ).astype(jnp.float64)
+        total = part if total is None else total + part
+    if total is None:
+        return jnp.zeros((dp.plan.rows,), jnp.float64)
+    p = dp.plan
+    total = total.reshape(p.nout, p.tile_rb, p.copies, 128).sum(axis=2)
+    return total.reshape(-1)[: dp.plan.rows]
+
+
+def spmv_swell(alpha, beta, csr, x, y, plan=None):
+    """Full strategy entry (dispatch contract): y_out = alpha*A@x + beta*y."""
+    dtype = csr.values.dtype
+    dp = get_swell_plan(csr, dtype)
+    if dtype == jnp.float64:
+        ax = swell_spmv_f64(dp, x)
+    else:
+        ax = swell_spmv_f32(dp, x)
+    ax = ax[: csr.rows].astype(dtype)
+    return axpby_finish(alpha, beta, ax, y)

@@ -12,7 +12,7 @@ import time
 
 import jax
 
-__all__ = ["WallTimer", "time_fn"]
+__all__ = ["WallTimer", "time_fn", "time_device_loop"]
 
 
 class WallTimer:
@@ -81,3 +81,38 @@ def time_chained(step_fn, init, iters: int = 50, baseline_iters: int = 3):
     t2, carry = _run_chain(step_fn, init, iters)
     per = (t2 - t1) / max(iters - baseline_iters, 1)
     return max(per, 0.0), carry
+
+
+def time_device_loop(step_fn, init, iters: int = 64, reps: int = 3):
+    """Per-iteration device time of ``carry = step_fn(carry)`` with the loop ON DEVICE.
+
+    Python-side dispatch through tunneled platforms costs ~100µs per execution, which
+    swamps sub-millisecond kernels.  This compiles ``lax.fori_loop(0, n, step, init)``
+    into ONE program, executes it for two iteration counts, and returns the slope —
+    pure device time, representative of real iterative callers (CG loops run exactly
+    this shape).  Returns (per-iteration µs, final carry).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(c, n):
+        return jax.lax.fori_loop(0, n, lambda i, c: step_fn(c), c)
+
+    def once(n):
+        t0 = time.perf_counter()
+        out = run(init, n)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf if getattr(leaf, "ndim", 0) == 0 else leaf.ravel()[:1]))
+        return time.perf_counter() - t0, out
+
+    once(1)  # compile both branches / warm
+    once(1 + iters)
+    lo = min(once(1)[0] for _ in range(reps))
+    hi, carry = 1e18, None
+    for _ in range(reps):
+        t, c = once(1 + iters)
+        if t < hi:
+            hi, carry = t, c
+    per = max(hi - lo, 0.0) / iters * 1e6
+    return per, carry

@@ -10,7 +10,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Compensated (two-f32) arithmetic depends on every f32 add/mul rounding exactly
+# once.  XLA CPU's excess-precision mode keeps intermediates in f64 across fused
+# regions, which silently voids the captured error terms (the rounding the `err`
+# computes never happens).  The TPU VPU has no wider register type, so real
+# hardware is unaffected; disable it for the CPU test environment.
+if "xla_allow_excess_precision" not in flags:
+    flags = (flags + " --xla_allow_excess_precision=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -33,6 +41,11 @@ def _clear_caches():
     _plan.clear_plan_cache()
     _dispatch._ELL_CACHE.clear()
     _dispatch._T_CACHE.clear()
+    from spmv_acc_tpu.ops import adaptive_plus as _ap
+    from spmv_acc_tpu.ops import swell as _swell
+
+    _ap._TILE_CACHE.clear()
+    _swell._SWELL_CACHE.clear()
 
 
 @pytest.fixture

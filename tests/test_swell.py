@@ -1,0 +1,114 @@
+"""Swell (sliced-window-ELL) kernel: plan invariants + exact kernel math via
+interpret mode on CPU, f32 and compensated-f64 variants, against the CPU golden."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spmv_acc_tpu.formats import banded_csr, dense_row_outlier_csr, powerlaw_csr, random_csr
+from spmv_acc_tpu.formats.generate import random_x_y
+from spmv_acc_tpu.ops.golden import host_spmv
+from spmv_acc_tpu.ops.swell import get_swell_plan, spmv_swell
+from spmv_acc_tpu.ops.swell_plan import build_swell_plan
+from spmv_acc_tpu.utils.verify import verify_y
+
+MATRICES = {
+    "banded": lambda: banded_csr(300, bandwidth=5, seed=70),
+    "random": lambda: random_csr(150, 260, 1700, seed=71),
+    "powerlaw": lambda: powerlaw_csr(180, 180, avg_nnz=6, seed=72),
+    "outlier": lambda: dense_row_outlier_csr(140, 140, avg_nnz=3, n_dense=2, seed=73),
+    "window_dense": lambda: random_csr(64, 100, 3000, seed=74),  # deep buckets
+    "tall": lambda: random_csr(40000, 300, 9000, seed=75),  # multiple out windows
+    "wide": lambda: random_csr(300, 40000, 9000, seed=76),  # multiple x chunks
+    "single_col": lambda: random_csr(200, 1, 180, seed=77),
+}
+
+
+def test_plan_invariants():
+    csr = powerlaw_csr(500, 500, avg_nnz=7, seed=80)
+    rp, ci, v, shape = csr.to_numpy()
+    plan = build_swell_plan(rp, ci, v, shape)
+    assert plan.nnz == csr.nnz
+    total = 0
+    for bk in plan.buckets:
+        assert bk.values.shape == (bk.nsteps, 128, 128)
+        # every real value slot has an in-range local index
+        assert bk.lidx.min() >= 0 and bk.lidx.max() < 128
+        # one-hot rows have at most one set bit
+        assert bk.onehot.sum(axis=2).max() <= 1
+        # <=1 slab per row-block per step: rbvec entries unique per step (ignoring -1)
+        for s in range(min(bk.nsteps, 4)):
+            rbs = bk.rbvec[s][bk.rbvec[s] >= 0]
+            assert len(rbs) == len(np.unique(rbs))
+        # outsel non-decreasing (out-window locality)
+        assert (np.diff(bk.outsel) >= 0).all()
+        total += bk.nnz
+    assert total == plan.nnz
+    # sanity: all nnz values present in slabs
+    vsum = sum(float(np.abs(bk.values).sum()) for bk in plan.buckets)
+    assert np.isclose(vsum, float(np.abs(v).sum()), rtol=1e-12)
+
+
+@pytest.mark.parametrize("name", sorted(MATRICES))
+def test_swell_f64_matches_golden(name):
+    csr = MATRICES[name]()
+    m, n = csr.shape
+    x, y = random_x_y(n, m, seed=75)
+    alpha, beta = 1.25, -0.5
+    golden = host_spmv(alpha, beta, *csr.to_numpy()[:3], x, y)
+    out = spmv_swell(alpha, beta, csr, jnp.asarray(x), jnp.asarray(y))
+    rep = verify_y(np.asarray(out), golden)
+    assert rep.ok, f"{name}: {rep}"
+
+
+@pytest.mark.parametrize("name", ["banded", "random", "window_dense"])
+def test_swell_f32(name):
+    csr = MATRICES[name]().astype(jnp.float32)
+    m, n = csr.shape
+    x, y = random_x_y(n, m, seed=77, dtype=np.float32)
+    golden = host_spmv(1.0, 1.0, *csr.to_numpy()[:3], x, y)
+    out = spmv_swell(1.0, 1.0, csr, jnp.asarray(x), jnp.asarray(y))
+    rep = verify_y(np.asarray(out), golden, dtype=np.float32)
+    assert rep.ok, rep
+
+
+def test_swell_df64_accuracy():
+    """Compensated-f64 must deliver ~f64 accuracy (<<1e-7 rel), not f32 (~1e-6)."""
+    csr = random_csr(100, 100, 2000, seed=78)
+    m, n = csr.shape
+    x, _ = random_x_y(n, m, seed=79)
+    golden = host_spmv(1.0, 0.0, *csr.to_numpy()[:3], x, np.zeros(m))
+    out = spmv_swell(1.0, 0.0, csr, jnp.asarray(x), jnp.zeros(m))
+    rel = np.abs(np.asarray(out) - golden) / np.maximum(np.abs(golden), 1e-300)
+    assert np.max(rel) < 1e-12, np.max(rel)
+
+
+def test_swell_long_row():
+    """A near-dense row exercises deep buckets + multi-slab rows across steps."""
+    m = 260
+    rows = np.concatenate([np.repeat(np.arange(m), 2), np.full(m, 7)])
+    cols = np.concatenate([np.tile(np.array([0, 1]), m) + np.repeat(np.arange(m), 2) % 100,
+                           np.arange(m)])
+    vals = np.random.default_rng(3).standard_normal(len(rows))
+    from spmv_acc_tpu.formats.convert import coo_to_csr_arrays
+    from spmv_acc_tpu.formats.containers import CSR
+
+    rp, ci, v = coo_to_csr_arrays(rows, cols, vals, (m, m))
+    csr = CSR.from_numpy(rp, ci, v, (m, m))
+    x, y = random_x_y(m, m, seed=4)
+    golden = host_spmv(2.0, 1.0, rp, ci, v, x, y)
+    out = spmv_swell(2.0, 1.0, csr, jnp.asarray(x), jnp.asarray(y))
+    rep = verify_y(np.asarray(out), golden)
+    assert rep.ok, rep
+
+
+def test_swell_fill_reporting():
+    csr = banded_csr(300000, bandwidth=5, seed=81)
+    dp = get_swell_plan(csr, np.float64)
+    assert 0.0 < dp.plan.fill_efficiency <= 1.0
+    # Binary-decomposition layers put a bw-5 band at depth 4+1 with ~full lanes in
+    # the main (rb, w) slabs.  Current cost: each row-block also spawns two tiny
+    # window-boundary slabs (rows crossing the 128-col window edge), which caps
+    # banded fill near ~0.45 — lifting that (shifted/overlapping windows) is a
+    # known follow-up.  Gate at the current level so regressions are caught.
+    assert dp.plan.fill_efficiency > 0.40, dp.plan.fill_efficiency
