@@ -21,12 +21,14 @@ __all__ = [
     "banded_csr",
     "powerlaw_csr",
     "dense_row_outlier_csr",
+    "fem_like_csr",
     "example_like",
     "EXAMPLE_SHAPES",
     "random_x_y",
 ]
 
-# Shapes of the reference's example corpus (rows, cols, nnz) from examples/batch.sh:24-50.
+# Shapes of the reference's example corpus (rows, cols, nnz): small set from
+# examples/batch.sh:24-50, large set from examples/large-data-set-batch.sh:24-51.
 EXAMPLE_SHAPES = {
     "af23560": (23560, 23560, 484256),
     "bayer10": (13436, 13436, 94926),
@@ -38,7 +40,116 @@ EXAMPLE_SHAPES = {
     "nemeth03": (9506, 9506, 202157),
     "poli_large": (15575, 15575, 33074),
     "rajat03": (7602, 7602, 32653),
+    # large set (examples/large-data-set-batch.sh)
+    "boneS10": (914898, 914898, 28191660),
+    "Bump_2911": (2911419, 2911419, 65320659),
+    "Cube_Coup_dt6": (2164760, 2164760, 64685452),
+    "dielFilterV3real": (1102824, 1102824, 45204422),
+    "Ga41As41H72": (268096, 268096, 9378286),
+    "Hardesty3": (8217820, 7591564, 40451632),
+    "largebasis": (440020, 440020, 5560100),
+    "RM07R": (381689, 381689, 37464962),
+    "TSOPF_RS_b2383": (38120, 38120, 16171169),
+    "vas_stokes_2M": (2146677, 2146677, 65129037),
 }
+
+# Structure class per example matrix.  The real SuiteSparse files are git-lfs stubs
+# in the reference, so stand-ins are generated; each mimics its matrix's published
+# structure class (FEM/structural = dense node blocks with diagonal locality,
+# circuit = diagonal + scatter, stencil = narrow band).  Parameters: see
+# _example_recipe below.
+_STRUCTURE = {
+    "af23560": "fem",          # CFD (transonic airfoil), 20.6/row
+    "bayer10": "circuit",
+    "bcsstk18": "fem",         # structural
+    "coater2": "fem",
+    "dw4096": "fem",           # electromagnetics
+    "epb1": "fem",             # heat exchanger
+    "exdata_1": "densefem",    # 378/row
+    "nemeth03": "fem",         # quantum chemistry, banded
+    "poli_large": "circuit",
+    "rajat03": "circuit",
+    "boneS10": "fem",          # model reduction, 3D trabecular bone, 30.8/row
+    "Bump_2911": "fem",        # reservoir simulation
+    "Cube_Coup_dt6": "fem",    # coupled structural
+    "dielFilterV3real": "fem", # electromagnetics, 41/row
+    "Ga41As41H72": "chem",     # DFT, clustered + scattered
+    "Hardesty3": "stencil",    # graphics mesh, 4.92/row, rectangular
+    "largebasis": "fem",       # optimization basis
+    "RM07R": "fem",            # CFD turbulence, 98/row
+    "TSOPF_RS_b2383": "densefem",  # power flow, 424/row dense blocks
+    "vas_stokes_2M": "fem",    # Stokes flow
+}
+
+
+def fem_like_csr(m: int, n: int, nnz: int, block: int = 3, spread_frac: float = 0.02,
+                 seed: int = 0, dtype=np.float64) -> CSR:
+    """FEM/structural-style stand-in: rows grouped in `block`-row node blocks, nodes
+    coupled via a 3D-grid stencil (clusters of consecutive nodes at the x/y/z grid
+    strides), every coupling a dense block×block sub-block — i.e. rows are a few
+    contiguous column runs near the diagonal, the dominant pattern of SuiteSparse
+    FEM/structural matrices (mesh locality).  Exact target nnz via top-up/trim."""
+    rng = np.random.default_rng(seed)
+    nodes_m = max(1, m // block)
+    nodes_n = max(1, n // block)
+    per_row = max(1, int(round(nnz / max(m, 1))))
+    # oversize by one neighbor cluster so the base pattern exceeds the target and
+    # exact nnz is reached by TRIMMING (a scattered top-up would wreck locality)
+    K = max(1, -(-per_row // block) + 1)
+    # 3D grid stencil in node space: neighbor clusters of consecutive nodes at
+    # offsets {0, ±nx, ±nx*ny}; cluster half-width grows until K offsets exist.
+    nx = max(2, int(round(nodes_n ** (1.0 / 3.0))))
+    nxny = nx * nx
+    centers = [0, -nx, nx, -nxny, nxny, -2 * nx, 2 * nx, -2 * nxny, 2 * nxny]
+    offsets = []
+    w = 0
+    while len(offsets) < K:
+        for c in centers:
+            if len(offsets) >= K:
+                break
+            for d in ([0] if w == 0 else [-w, w]):
+                o = c + d
+                if o not in offsets:
+                    offsets.append(o)
+                    if len(offsets) >= K:
+                        break
+        w += 1
+    offs = np.array(offsets[:K], dtype=np.int64)[None, :]
+    nbr = np.clip(np.arange(nodes_m, dtype=np.int64)[:, None] * nodes_n // nodes_m + offs, 0, nodes_n - 1)
+    scale = max(2.0, spread_frac * nodes_n)  # for the exact-nnz top-up scatter only
+    # expand: node pair -> block x block dense sub-block
+    rn = np.repeat(np.arange(nodes_m, dtype=np.int64), K)
+    cn = nbr.reshape(-1)
+    # dedup node pairs
+    pair = rn * nodes_n + cn
+    pair = np.unique(pair)
+    rn = pair // nodes_n
+    cn = pair % nodes_n
+    bi = np.arange(block, dtype=np.int64)
+    shape3 = (len(rn), block, block)
+    rows = np.broadcast_to(rn[:, None, None] * block + bi[None, :, None], shape3).reshape(-1)
+    cols = np.broadcast_to(cn[:, None, None] * block + bi[None, None, :], shape3).reshape(-1)
+    keep = (rows < m) & (cols < n)
+    rows, cols = rows[keep], cols[keep]
+    # exact nnz: trim (base pattern is oversized); top up only in the rare edge
+    # case, LOCALLY (±2 blocks of the diagonal) so locality is preserved
+    if len(rows) > nnz:
+        sel = rng.choice(len(rows), nnz, replace=False)
+        rows, cols = rows[sel], cols[sel]
+    halo = 2 * block
+    while len(rows) < nnz:
+        need = nnz - len(rows)
+        rr = rng.integers(0, m, 2 * need + 64)
+        cc = np.clip(rr * n // max(m, 1) + rng.integers(-halo, halo + 1, 2 * need + 64), 0, n - 1)
+        rows = np.concatenate([rows, rr])
+        cols = np.concatenate([cols, cc])
+        key = rows * n + cols
+        _, idx = np.unique(key, return_index=True)
+        idx = np.sort(idx)[:nnz]
+        rows, cols = rows[idx], cols[idx]
+        halo *= 2  # widen if the local band saturates
+    vals = (rng.random(len(rows)) * 2.0 - 1.0).astype(dtype)
+    return _finish(rows, cols, vals, (m, n))
 
 
 def _finish(rows, cols, vals, shape) -> CSR:
@@ -115,18 +226,56 @@ def dense_row_outlier_csr(m: int, n: int, avg_nnz: int = 4, n_dense: int = 2, se
     return _finish(rows, cols, vals, shape)
 
 
-def example_like(name: str, seed: int = 7, dtype=np.float64) -> CSR:
-    """A deterministic matrix with the same (rows, cols, nnz) as a reference example.
+def _stencil_csr(m, n, nnz, seed, dtype):
+    """Narrow-band stencil (Hardesty3-style graphics mesh): ~nnz/m points per row,
+    contiguous around the scaled diagonal."""
+    rng = np.random.default_rng(seed)
+    k = max(1, int(round(nnz / m)))
+    center = (np.arange(m, dtype=np.int64) * n) // max(m, 1)
+    offs = np.arange(k, dtype=np.int64) - k // 2
+    rows = np.repeat(np.arange(m, dtype=np.int64), k)
+    cols = np.clip((center[:, None] + offs[None, :]).reshape(-1), 0, n - 1)
+    key = rows * n + cols
+    _, idx = np.unique(key, return_index=True)
+    idx = np.sort(idx)
+    rows, cols = rows[idx], cols[idx]
+    while len(rows) < nnz:
+        need = nnz - len(rows)
+        rr = rng.integers(0, m, need + 64)
+        cc = np.clip(rr * n // max(m, 1) + rng.integers(-2 * k - 2, 2 * k + 2, need + 64), 0, n - 1)
+        rows = np.concatenate([rows, rr]); cols = np.concatenate([cols, cc])
+        key = rows * n + cols
+        _, idx = np.unique(key, return_index=True)
+        idx = np.sort(idx)[:nnz]
+        rows, cols = rows[idx], cols[idx]
+    sel = slice(0, nnz)
+    vals = (rng.random(len(rows[sel])) * 2.0 - 1.0).astype(dtype)
+    return _finish(rows[sel], cols[sel], vals, (m, n))
 
-    The lfs stubs mean the true data is unavailable; this regenerates a matrix of
-    identical published dimensions (examples/batch.sh:24-50).  Structure mimics the
-    real matrices' character: SuiteSparse matrices (circuit/FEM/structural problems,
-    e.g. rajat03, bcsstk18) are overwhelmingly *locality-friendly* — entries cluster
-    near the diagonal with a heavy-tailed spread — so the stand-in draws column
-    offsets from a Laplace-like distribution (scale ~1% of n) plus a small
-    uniform-random tail, rather than uniformly at random.
+
+def example_like(name: str, seed: int = 7, dtype=np.float64) -> CSR:
+    """A deterministic stand-in with the same (rows, cols, nnz) as a reference
+    example and the same *structure class* (see _STRUCTURE).
+
+    The reference ships its example matrices as git-lfs stubs (data absent), so we
+    regenerate by published dimensions (examples/batch.sh:24-50,
+    examples/large-data-set-batch.sh:24-51) with class-appropriate sparsity
+    patterns: FEM/structural matrices are dense node-block couplings with diagonal
+    locality (contiguous column runs), circuit matrices are diagonal + heavy-tailed
+    scatter, stencil meshes are narrow bands.
     """
     m, n, nnz = EXAMPLE_SHAPES[name]
+    kind = _STRUCTURE.get(name, "circuit")
+    per_row = nnz / max(m, 1)
+    if kind == "fem":
+        block = 6 if per_row >= 36 else 3
+        return fem_like_csr(m, n, nnz, block=block, spread_frac=0.02, seed=seed, dtype=dtype)
+    if kind == "densefem":
+        return fem_like_csr(m, n, nnz, block=16, spread_frac=0.01, seed=seed, dtype=dtype)
+    if kind == "chem":
+        return fem_like_csr(m, n, nnz, block=2, spread_frac=0.08, seed=seed, dtype=dtype)
+    if kind == "stencil":
+        return _stencil_csr(m, n, nnz, seed, dtype)
     rng = np.random.default_rng(seed)
     # diagonal band guarantees a full diagonal neighborhood
     band_nnz = min(nnz, 3 * m)

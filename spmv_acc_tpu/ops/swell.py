@@ -381,73 +381,95 @@ def get_swell_plan(csr, dtype) -> _DeviceSwellPlan:
     return dp
 
 
+# --------------------------------------------------------------- pure apply
+#
+# The plan's slab arrays MUST flow into jitted programs as ARGUMENTS, never as
+# captured constants: an outer jit closing over a _DeviceSwellPlan would embed
+# hundreds of MB of slabs into the HLO (observed: HTTP 413 from the remote
+# compiler at 14M nnz).  `swell_ax` is the pure function; `bucket_args`/`statics`
+# are its argument pytree and hashable spec.
+
+
+def _bucket_args(dp: _DeviceSwellPlan, interp: bool):
+    out = []
+    for i, b in enumerate(dp.buckets):
+        if interp:
+            out.append((b["csel"], b["osel"], b["first"], (dp.native_vals(i),),
+                        b["lidx"], b["oh"], b["rbvec"], b["touched"]))
+        else:
+            out.append((b["csel"], b["osel"], b["first"], b["vals"],
+                        b["lidx"], b["oh"], b["rbvec"], b["touched"]))
+    return tuple(out)
+
+
+def _statics(dp: _DeviceSwellPlan, interp: bool):
+    p = dp.plan
+    return (
+        bool(dp.dtype == np.float64), bool(interp), p.nout, p.nchunks,
+        p.copies, p.tile_rb, p.rows,
+        tuple(b["log2d"] for b in dp.buckets),
+    )
+
+
+def _prep_x_pure(x, nchunks, is64, native):
+    n_pad = nchunks * CHUNK_W * CW
+    if native:
+        dt = jnp.float64 if is64 else jnp.float32
+        xp = jnp.zeros((n_pad,), dt).at[: x.shape[0]].set(x.astype(dt))
+        return (xp.reshape(nchunks, CHUNK_W, CW),)
+    if is64:
+        x64 = x.astype(jnp.float64)
+        xh = x64.astype(jnp.float32)
+        xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
+        xh = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xh)
+        xl = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xl)
+        return (xh.reshape(nchunks, CHUNK_W, CW), xl.reshape(nchunks, CHUNK_W, CW))
+    xp = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(x.astype(jnp.float32))
+    return (xp.reshape(nchunks, CHUNK_W, CW),)
+
+
+def swell_ax(bargs, x, statics):
+    """Pure A@x over the swell plan; safe to trace inside any outer jit/loop."""
+    is64, interp, nout, nchunks, copies, tile_rb, rows, log2ds = statics
+    out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
+    if not bargs:
+        return jnp.zeros((rows,), out_dt)
+    chunks = _prep_x_pure(x, nchunks, is64, native=interp)
+    total = None
+    for (csel, osel, first, vals, lidx, oh, rbvec, touched), log2d in zip(bargs, log2ds):
+        if interp:
+            o = _call_native_interp(csel, osel, first, vals[0], lidx, oh, rbvec,
+                                    chunks[0], log2d, nout)
+            part = o if is64 else o.astype(jnp.float32)
+        elif is64:
+            ohi, oerr = _call_f64(csel, osel, first, vals[0], vals[1], lidx, oh,
+                                  rbvec, chunks[0], chunks[1], log2d, nout, False)
+            mask = touched[:, None, None]
+            part = jnp.where(mask, ohi, 0.0).astype(jnp.float64) + jnp.where(
+                mask, oerr, 0.0
+            ).astype(jnp.float64)
+        else:
+            o = _call_f32(csel, osel, first, vals[0], lidx, oh, rbvec,
+                          chunks[0], log2d, nout, False)
+            part = jnp.where(touched[:, None, None], o, 0.0)
+        total = part if total is None else total + part
+    total = total.reshape(nout, tile_rb, copies, 128).sum(axis=2)
+    return total.reshape(-1)[:rows].astype(out_dt)
+
+
+_swell_ax_jit = jax.jit(swell_ax, static_argnames=("statics",))
+
+
 def swell_spmv_f32(dp: _DeviceSwellPlan, x):
     """A@x in f32; returns (m,) f32."""
     interp = _interpret()
-    if interp:
-        chunks_nat = dp.prep_x_native(x)
-        total = None
-        for i, b in enumerate(dp.buckets):
-            o = _call_native_interp(
-                b["csel"], b["osel"], b["first"], dp.native_vals(i), b["lidx"], b["oh"],
-                b["rbvec"], chunks_nat, b["log2d"], dp.nout,
-            )
-            total = o if total is None else total + o
-        if total is None:
-            return jnp.zeros((dp.plan.rows,), jnp.float32)
-        p = dp.plan
-        total = total.reshape(p.nout, p.tile_rb, p.copies, 128).sum(axis=2)
-        return total.reshape(-1)[: dp.plan.rows].astype(jnp.float32)
-    (chunks,) = dp.prep_x(x)
-    total = None
-    for b in dp.buckets:
-        o = _call_f32(
-            b["csel"], b["osel"], b["first"], b["vals"][0], b["lidx"], b["oh"],
-            b["rbvec"], chunks, b["log2d"], dp.nout, False,
-        )
-        o = jnp.where(b["touched"][:, None, None], o, 0.0)
-        total = o if total is None else total + o
-    if total is None:
-        return jnp.zeros((dp.plan.rows,), jnp.float32)
-    p = dp.plan
-    total = total.reshape(p.nout, p.tile_rb, p.copies, 128).sum(axis=2)
-    return total.reshape(-1)[: dp.plan.rows]
+    return _swell_ax_jit(_bucket_args(dp, interp), x, _statics(dp, interp))
 
 
 def swell_spmv_f64(dp: _DeviceSwellPlan, x):
-    """A@x in compensated two-f32; returns (m,) f64."""
+    """A@x in compensated two-f32 (native f64 under interpret); returns (m,) f64."""
     interp = _interpret()
-    if interp:
-        chunks_nat = dp.prep_x_native(x)
-        total = None
-        for i, b in enumerate(dp.buckets):
-            o = _call_native_interp(
-                b["csel"], b["osel"], b["first"], dp.native_vals(i), b["lidx"], b["oh"],
-                b["rbvec"], chunks_nat, b["log2d"], dp.nout,
-            )
-            total = o if total is None else total + o
-        if total is None:
-            return jnp.zeros((dp.plan.rows,), jnp.float64)
-        p = dp.plan
-        total = total.reshape(p.nout, p.tile_rb, p.copies, 128).sum(axis=2)
-        return total.reshape(-1)[: dp.plan.rows]
-    ch, cl = dp.prep_x(x)
-    total = None
-    for b in dp.buckets:
-        ohi, oerr = _call_f64(
-            b["csel"], b["osel"], b["first"], b["vals"][0], b["vals"][1], b["lidx"],
-            b["oh"], b["rbvec"], ch, cl, b["log2d"], dp.nout, False,
-        )
-        mask = b["touched"][:, None, None]
-        part = jnp.where(mask, ohi, 0.0).astype(jnp.float64) + jnp.where(
-            mask, oerr, 0.0
-        ).astype(jnp.float64)
-        total = part if total is None else total + part
-    if total is None:
-        return jnp.zeros((dp.plan.rows,), jnp.float64)
-    p = dp.plan
-    total = total.reshape(p.nout, p.tile_rb, p.copies, 128).sum(axis=2)
-    return total.reshape(-1)[: dp.plan.rows]
+    return _swell_ax_jit(_bucket_args(dp, interp), x, _statics(dp, interp))
 
 
 def spmv_swell(alpha, beta, csr, x, y, plan=None):
@@ -460,3 +482,30 @@ def spmv_swell(alpha, beta, csr, x, y, plan=None):
         ax = swell_spmv_f32(dp, x)
     ax = ax[: csr.rows].astype(dtype)
     return axpby_finish(alpha, beta, ax, y)
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
+def _swell_power_run(bargs, x, y, alpha, beta, n, statics):
+    """n chained SpMV steps on device (power-iteration normalize prevents hoisting)."""
+
+    def body(i, xx):
+        ax = alpha * swell_ax(bargs, xx, statics) + beta * y
+        return ax * jax.lax.rsqrt(jnp.mean(ax * ax) + 1e-30)
+
+    return jax.lax.fori_loop(0, n, body, x)
+
+
+def make_swell_run(csr, alpha=1.0, beta=1.0):
+    """Bench helper: returns run(x, y, n) executing n chained SpMV iterations in ONE
+    device program, with all plan arrays passed as arguments (never constants)."""
+    dp = get_swell_plan(csr, csr.values.dtype)
+    interp = _interpret()
+    bargs = _bucket_args(dp, interp)
+    statics = _statics(dp, interp)
+    a = csr.values.dtype.type(alpha)
+    b = csr.values.dtype.type(beta)
+
+    def run(x, y, n):
+        return _swell_power_run(bargs, x, y, a, b, n, statics)
+
+    return run
