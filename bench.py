@@ -54,9 +54,10 @@ BASELINE_ROOFLINE = 0.80
 
 
 def _iters_for(nnz: int) -> int:
-    # aim for ~40ms of loop time at a conservative 50 GB/s estimate
+    # aim for ~40ms of loop time at a conservative 50 GB/s estimate (tunnel
+    # dispatch noise is ~100us; the loop must dwarf it or the slope reads 0)
     per = max(nnz * 12 / 50e9, 2e-6)
-    return int(min(256, max(16, 0.04 / per)))
+    return int(min(8192, max(64, 0.04 / per)))
 
 
 def bench_matrix(name: str, log):
@@ -90,9 +91,14 @@ def bench_matrix(name: str, log):
 
         once(1)
         once(1 + iters)
-        lo = min(once(1) for _ in range(3))
-        hi = min(once(1 + iters) for _ in range(3))
-        per_us = max(hi - lo, 0.0) / iters * 1e6
+        per_us = 0.0
+        for _ in range(3):  # grow the loop until it dwarfs dispatch noise
+            lo = min(once(1) for _ in range(3))
+            hi = min(once(1 + iters) for _ in range(3))
+            per_us = max(hi - lo, 0.0) / iters * 1e6
+            if per_us > 0 and per_us * iters > 20e3:
+                break
+            iters = min(iters * 4, 65536)
     else:
         from spmv_acc_tpu.dispatch import make_spmv_fn
         from spmv_acc_tpu.utils.timer import time_device_loop

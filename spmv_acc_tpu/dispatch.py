@@ -141,10 +141,23 @@ def _run(strategy: str, alpha, beta, csr: CSR, x, y, plan: Plan):
         from .ops import swell as _swell
 
         return _swell.spmv_swell(alpha, beta, csr, x, y, plan)
+    if strategy in _ZOO:
+        from .ops import zoo as _zoo
+
+        return getattr(_zoo, f"spmv_{strategy}")(alpha, beta, csr, x, y, plan)
     raise ValueError(f"unknown strategy {strategy!r} (one of {sorted(STRATEGIES)})")
 
 
-STRATEGIES = {"adaptive", "default", "line", "ell", "flat", "vector_row", "adaptive_plus", "swell"}
+# full parity with the reference's eleven-strategy zoo (src/acc/CMakeLists.txt:2-14):
+# DEFAULT->default, THREAD_ROW->thread_row, WF_ROW->wf_row, BLOCK_ROW_ORDINARY->
+# block_row, LIGHT->light, VECTOR_ROW->vector_row, LINE->line, LINE_ENHANCE->
+# line_enhance, FLAT->flat, ADAPTIVE->adaptive, CSR_ADAPTIVE_PLUS->adaptive_plus
+# (+ swell and ell as TPU-native additions)
+_ZOO = {"thread_row", "wf_row", "block_row", "light", "line_enhance"}
+STRATEGIES = {
+    "adaptive", "default", "line", "ell", "flat", "vector_row",
+    "adaptive_plus", "swell",
+} | _ZOO
 
 
 def spmv(

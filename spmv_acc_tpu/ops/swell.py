@@ -486,11 +486,14 @@ def spmv_swell(alpha, beta, csr, x, y, plan=None):
 
 @functools.partial(jax.jit, static_argnames=("statics",))
 def _swell_power_run(bargs, x, y, alpha, beta, n, statics):
-    """n chained SpMV steps on device (power-iteration normalize prevents hoisting)."""
+    """n chained SpMV steps on device.  The feedback multiplier depends on the
+    result, so XLA cannot hoist the loop-invariant SpMV; it perturbs x by ~1e-30
+    relatively, so magnitudes stay stable for any iteration count and the chain
+    works for rectangular matrices (x and A@x shapes differ)."""
 
     def body(i, xx):
         ax = alpha * swell_ax(bargs, xx, statics) + beta * y
-        return ax * jax.lax.rsqrt(jnp.mean(ax * ax) + 1e-30)
+        return xx * (1.0 + jnp.mean(ax * ax) * 1e-30)
 
     return jax.lax.fori_loop(0, n, body, x)
 

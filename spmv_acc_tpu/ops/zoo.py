@@ -1,0 +1,175 @@
+"""The remaining work-distribution strategies of the reference zoo, re-expressed
+for the TPU's execution model.
+
+The reference's strategies differ in HOW work maps to hardware lanes
+(src/acc/CMakeLists.txt:2-14 enumerates eleven).  ``dispatch.py`` already carries
+default / line / ell / flat / vector_row / adaptive_plus / swell; this module adds
+TPU-native analogs for the rest.  On a GPU these differ by thread/wavefront/block
+row ownership and reduction network; on TPU the analog degrees of freedom are the
+*padded packing width* (how many consecutive slots one row owns inside the 8×128
+VPU register file) and the *reduction staging* (single dense reduce vs strided
+two-stage vs carried rounds):
+
+| reference strategy | GPU work unit        | TPU analog here                       |
+|--------------------|----------------------|---------------------------------------|
+| THREAD_ROW         | 1 thread ↔ 1 row     | row-per-lane: width-max ELL, one dense
+|                    | (thread_row.inl)     | axis-1 reduce (`spmv_thread_row`)      |
+| WF_ROW             | 1 wavefront ↔ 1 row  | row-per-sublane-group: (m,k,8) strided
+|                    | (wavefront_row_*.hpp)| two-stage reduce (`spmv_wf_row`)       |
+| BLOCK_ROW_ORDINARY | 1 block ↔ 1 row      | row-per-VPU-row: (m,k,128) staging
+|                    | (spmv_hip_acc_imp)   | (`spmv_block_row`)                     |
+| LIGHT              | dynamic atomic row   | static balanced batches; the atomic
+|                    | queue (LightSpMV)    | queue is not idiomatic on TPU — the
+|                    |                      | same vector-width heuristic drives a
+|                    |                      | deterministic packing (`spmv_light`)   |
+| LINE_ENHANCE       | fixed rows/block,    | `lax.scan` over fixed-size nnz rounds
+|                    | nnz rounds in LDS    | with a carried row accumulator
+|                    | (line_enhance_*.inl) | (`spmv_line_enhance`)                  |
+
+All compute ``y = alpha*A@x + beta*y`` with true alpha/beta semantics via
+``axpby_finish`` (the reference's line/flat variants silently assume beta==1,
+SURVEY.md §7.3 — deliberately fixed here).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .xla import axpby_finish
+
+__all__ = [
+    "spmv_thread_row",
+    "spmv_wf_row",
+    "spmv_block_row",
+    "spmv_light",
+    "spmv_line_enhance",
+]
+
+_PACK_CACHE: dict = {}
+
+
+def _row_packed(csr, width_unit: int):
+    """Pad each row to a multiple of ``width_unit`` slots; returns
+    (cols (m, k*W) int32, vals (m, k*W)) with zero padding (col 0, val 0)."""
+    key = (id(csr.row_ptr), csr.shape, csr.nnz, "pack", width_unit, str(csr.values.dtype))
+    hit = _PACK_CACHE.get(key)
+    if hit is not None and hit[0] is csr.row_ptr:
+        return hit[1]
+    rp, ci, v, (m, n) = csr.to_numpy()
+    lens = np.diff(rp)
+    maxlen = max(int(lens.max()) if m else 1, 1)
+    width = max(width_unit, -(-maxlen // width_unit) * width_unit)
+    cols = np.zeros((m, width), dtype=np.int32)
+    vals = np.zeros((m, width), dtype=v.dtype)
+    rows = np.repeat(np.arange(m), lens)
+    slots = np.arange(len(rows)) - np.repeat(rp[:-1], lens)
+    cols[rows, slots] = ci
+    vals[rows, slots] = v
+    out = (jnp.asarray(cols), jnp.asarray(vals))
+    _PACK_CACHE[key] = (csr.row_ptr, out)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _reduce_flat(cols, vals, x):
+    return jnp.sum(vals * x[cols], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _reduce_staged(cols, vals, x, w):
+    m, width = cols.shape
+    prod = (vals * x[cols]).reshape(m, width // w, w)
+    partial = prod.sum(axis=1)  # strided accumulation (the per-lane serial loop)
+    return partial.sum(axis=1)  # the cross-lane reduction (shfl/LDS tree analog)
+
+
+def spmv_thread_row(alpha, beta, csr, x, y, plan=None):
+    """Row-per-lane (THREAD_ROW analog, hip-thread-row/thread_row.inl:17-98).
+    Best when rows are uniformly ultra-short (the reference gates on avg<=4,
+    thread_row.cpp:17-49)."""
+    cols, vals = _row_packed(csr, 1)
+    return axpby_finish(alpha, beta, _reduce_flat(cols, vals, x), y)
+
+
+def spmv_wf_row(alpha, beta, csr, x, y, plan=None):
+    """Row-per-sublane-group (WF_ROW analog, hip-wf-row/wavefront_row_default.hpp:48-92):
+    each row's slots are strided over an 8-wide group, reduced in two stages like the
+    wavefront's strided loads + shuffle tree."""
+    cols, vals = _row_packed(csr, 8)
+    return axpby_finish(alpha, beta, _reduce_staged(cols, vals, x, 8), y)
+
+
+def spmv_block_row(alpha, beta, csr, x, y, plan=None):
+    """Row-per-VPU-row (BLOCK_ROW_ORDINARY analog,
+    hip-block-row-ordinary/spmv_hip_acc_imp.cpp:16-75): all 128 lanes stride one row,
+    then a tree reduce — profitable only for long rows, exactly like the original."""
+    cols, vals = _row_packed(csr, 128)
+    return axpby_finish(alpha, beta, _reduce_staged(cols, vals, x, 128), y)
+
+
+# LightSpMV vector-size thresholds from avg nnz/row (hip-light/light_spmv.cpp:16-42)
+_LIGHT_THRESHOLDS = ((2, 1), (4, 2), (8, 4), (16, 8), (32, 16), (64, 32))
+
+
+def spmv_light(alpha, beta, csr, x, y, plan=None):
+    """LIGHT analog (LightSpMV, hip-light/spmv_hip_acc_imp.inl:35-77): the original
+    balances load with a global atomic row counter claiming row batches per vector.
+    TPU grids are deterministic and atomics-free, so the same vector-size heuristic
+    (avg nnz/row thresholds, light_spmv.cpp:16-42) instead selects a static packing
+    width; scheduling fairness comes from the dense reduce covering all rows."""
+    avg = csr.nnz / max(csr.rows, 1)
+    w = 64
+    for thresh, cand in _LIGHT_THRESHOLDS:
+        if avg <= thresh:
+            w = cand
+            break
+    cols, vals = _row_packed(csr, w)
+    if w == 1:
+        return axpby_finish(alpha, beta, _reduce_flat(cols, vals, x), y)
+    return axpby_finish(alpha, beta, _reduce_staged(cols, vals, x, w), y)
+
+
+ROUND_NNZ = 1 << 16
+
+
+@functools.partial(jax.jit, static_argnames=("num_rows", "rounds", "rnnz"))
+def _line_enhance_core(values, col_idx, row_ids, x, num_rows, rounds, rnnz):
+    nnz_pad = rounds * rnnz
+    prod = values * x[col_idx]
+    if nnz_pad > prod.shape[0]:
+        pad = nnz_pad - prod.shape[0]
+        prod = jnp.concatenate([prod, jnp.zeros((pad,), prod.dtype)])
+        row_ids = jnp.concatenate([row_ids, jnp.full((pad,), num_rows, jnp.int32)])
+    prod = prod.reshape(rounds, rnnz)
+    rows = row_ids.reshape(rounds, rnnz)
+
+    def body(carry, chunk):
+        p, r = chunk
+        contrib = jax.ops.segment_sum(p, r, num_segments=num_rows + 1, indices_are_sorted=True)
+        return carry + contrib[:num_rows], None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((num_rows,), prod.dtype), (prod, rows))
+    return out
+
+
+def spmv_line_enhance(alpha, beta, csr, x, y, plan):
+    """LINE_ENHANCE analog (hip-line-enhance/line_enhance_spmv_imp.inl:11-95): the
+    original streams a block's nnz through LDS in R rounds, accumulating per-row
+    partials across rounds.  Here `lax.scan` carries the row accumulator across
+    fixed-size nnz rounds — the same rounds-loop shape, with the carry in VMEM."""
+    nnz = csr.nnz
+    m = csr.rows
+    rounds = max(1, -(-nnz // ROUND_NNZ))
+    if rounds == 1:
+        from .flat import _flat_direct
+
+        ax = _flat_direct(csr.values, csr.col_idx, plan.row_ids[:nnz], x, m)
+    else:
+        ax = _line_enhance_core(
+            csr.values, csr.col_idx, plan.row_ids[:nnz], x, m, rounds, ROUND_NNZ
+        )
+    return axpby_finish(alpha, beta, ax, y)

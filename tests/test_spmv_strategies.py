@@ -27,7 +27,8 @@ MATRICES = {
     "single_row": lambda: random_csr(1, 64, 30, seed=6),
 }
 
-STRATEGIES = ["default", "line", "ell", "flat", "vector_row"]
+STRATEGIES = ["default", "line", "ell", "flat", "vector_row",
+              "thread_row", "wf_row", "block_row", "light", "line_enhance"]
 
 
 @pytest.mark.parametrize("matrix_name", sorted(MATRICES))
