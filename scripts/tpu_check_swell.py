@@ -1,4 +1,6 @@
 """On-device validation + timing of the swell kernel (real TPU path)."""
+import sys
+sys.path.insert(0, "/root/repo")
 import time
 import jax
 jax.config.update("jax_enable_x64", True)
@@ -10,7 +12,6 @@ import numpy as np
 from spmv_acc_tpu.formats.generate import banded_csr, example_like, random_x_y
 from spmv_acc_tpu.ops.golden import host_spmv
 from spmv_acc_tpu.ops.swell import get_swell_plan, spmv_swell
-from spmv_acc_tpu.utils.timer import time_device_loop
 from spmv_acc_tpu.utils.verify import verify_y
 
 print("backend:", jax.default_backend(), jax.devices()[0].device_kind, flush=True)
@@ -29,16 +30,27 @@ for name, make in CASES.items():
     t0 = time.perf_counter()
     dp = get_swell_plan(csr, np.float64)
     t_plan = time.perf_counter() - t0
-    fn = jax.jit(lambda xx: spmv_swell(1.0, 0.0, csr, xx, jnp.zeros(m)))
-    out = np.asarray(fn(jnp.asarray(x)))
+    out = np.asarray(spmv_swell(1.0, 0.0, csr, jnp.asarray(x), jnp.zeros(m)))
     golden = host_spmv(1.0, 0.0, *csr.to_numpy()[:3], x, np.zeros(m))
     rep = verify_y(out, golden, dtype=np.float64)
 
-    def step(xx):
-        ax = fn(xx)
-        return ax * jax.lax.rsqrt(jnp.mean(ax * ax) + 1e-30)
+    from spmv_acc_tpu.ops.swell import make_swell_run
+    import time as _t
+    run = make_swell_run(csr, alpha=1.0, beta=0.0)
+    dy = jnp.zeros(m)
+    dx = jnp.asarray(x)
 
-    per_us, _ = time_device_loop(step, jnp.asarray(x), iters=64)
+    def once(nn):
+        t = _t.perf_counter()
+        r = run(dx, dy, nn)
+        np.asarray(jax.device_get(r.ravel()[:1]))
+        return _t.perf_counter() - t
+
+    iters = 64
+    once(1); once(1 + iters)
+    lo = min(once(1) for _ in range(3))
+    hi = min(once(1 + iters) for _ in range(3))
+    per_us = max(hi - lo, 0.0) / iters * 1e6
     bmodel = 8 * (2 * m + csr.nnz) + 4 * (m + 1 + csr.nnz)
     gbs = bmodel / (per_us * 1e-6) / 1e9 if per_us > 0 else 0
     print(

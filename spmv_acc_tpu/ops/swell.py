@@ -81,6 +81,37 @@ def _dot(a, b):
     )
 
 
+def _dot1(a, b):
+    """Single-MXU-pass bf16 matmul with f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _table(oh_ref, chunk_refs, P, D):
+    """Build the (128,128) per-sublane x table from the per-POSITION one-hot and
+    bf16-split chunk planes.
+
+    Profiling showed the two HIGHEST-precision (128,128,128) one-hot matmuls were
+    ~50% of the step.  Replacement: a (P,128,128) matmul per bf16 plane at DEFAULT
+    precision — each plane is a single MXU pass, the one-hot rows make every output
+    element a sum of ≤1 nonzero per plane (exact), and the planes are disjoint
+    mantissa segments of the f32 chunk so their f32 sum reconstructs it exactly.
+    The (P,128) result tiles over sublanes (slot-major order ⇒ plain broadcast).
+    """
+    ohb = oh_ref[0, :P].astype(jnp.bfloat16)  # (P,128)
+    # ASCENDING plane order makes the f32 reconstruction exact: c3+c2 equals the
+    # first split residual r1 (itself an f32), and r1+c1 == x by construction —
+    # descending order instead rounds the 25-bit span and leaks ~2^-24 |x|.
+    ts = _dot1(ohb, chunk_refs[-1][0])
+    for c in reversed(chunk_refs[:-1]):
+        ts = ts + _dot1(ohb, c[0])
+    if D == 1:
+        return ts
+    return jnp.broadcast_to(ts[None], (D, P, 128)).reshape(128, 128)
+
+
 def _build_T(rb_row, P):
     """One-hot scatter matrix T[r, p] = (rbvec[p] == r), (128, P) f32."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (ROUT, P), 0)
@@ -93,11 +124,12 @@ def _build_T(rb_row, P):
 
 def _make_f32_kernel(log2d: int):
     P = 128 >> log2d
+    D = 1 << log2d
 
-    def kernel(csel_r, osel_r, first_r, vals_ref, lidx_ref, oh_ref, rb_ref, chunk_ref, o_ref):
+    def kernel(csel_r, osel_r, first_r, vals_ref, lidx_ref, oh_ref, rb_ref,
+               c1_ref, c2_ref, c3_ref, o_ref):
         s = pl.program_id(0)
-        oh = oh_ref[0].astype(jnp.float32)
-        table = _dot(oh, chunk_ref[0])
+        table = _table(oh_ref, (c1_ref, c2_ref, c3_ref), P, D)
         g = _lane_gather(table, lidx_ref[0].astype(jnp.int32))
         p = vals_ref[0] * g
         for _ in range(log2d):
@@ -128,15 +160,17 @@ def _split(a):
 def _make_f64_kernel(log2d: int):
     P = 128 >> log2d
 
+    D = 1 << log2d
+
     def kernel(
         csel_r, osel_r, first_r,
-        vh_ref, vl_ref, lidx_ref, oh_ref, rb_ref, ch_ref, cl_ref,
+        vh_ref, vl_ref, lidx_ref, oh_ref, rb_ref,
+        c1_ref, c2_ref, c3_ref, l1_ref, l2_ref,
         ohi_ref, oerr_ref,
     ):
         s = pl.program_id(0)
-        oh = oh_ref[0].astype(jnp.float32)
-        th = _dot(oh, ch_ref[0])
-        tl = _dot(oh, cl_ref[0])
+        th = _table(oh_ref, (c1_ref, c2_ref, c3_ref), P, D)
+        tl = _table(oh_ref, (l1_ref, l2_ref), P, D)
         idx = lidx_ref[0].astype(jnp.int32)
         gh = _lane_gather(th, idx)
         gl = _lane_gather(tl, idx)
@@ -199,6 +233,7 @@ def _make_f64_kernel(log2d: int):
 
 def _make_native_steps_kernel(log2d: int, dtype):
     P = 128 >> log2d
+    D = 1 << log2d
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -207,8 +242,9 @@ def _make_native_steps_kernel(log2d: int, dtype):
         )
 
     def kernel(csel_r, osel_r, first_r, vals_ref, lidx_ref, oh_ref, rb_ref, chunk_ref, o_ref):
-        oh = oh_ref[0].astype(dtype)
-        table = dot(oh, chunk_ref[0])
+        oh = oh_ref[0, :P].astype(dtype)
+        ts = dot(oh, chunk_ref[0])  # (P, 128) — one row per slab position
+        table = ts if D == 1 else jnp.broadcast_to(ts[None], (D, P, 128)).reshape(128, 128)
         g = _lane_gather(table, lidx_ref[0].astype(jnp.int32))
         p = vals_ref[0] * g
         for _ in range(log2d):
@@ -231,7 +267,7 @@ def _call_native_interp(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d,
         in_specs=[
             pl.BlockSpec((1, 128, 128), spec3),
             pl.BlockSpec((1, 128, 128), spec3),
-            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, oh.shape[1], 128), spec3),
             pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z)),
             pl.BlockSpec((1, 128, 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
         ],
@@ -248,20 +284,20 @@ def _call_native_interp(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("log2d", "nout", "interpret"))
 def _call_f32(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d, nout, interpret):
     nsteps = vals.shape[0]
     spec3 = lambda s, *_: (s, _Z, _Z)
+    cspec = lambda s, csel, *_: (csel[s], _Z, _Z)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, 128, 128), spec3),
             pl.BlockSpec((1, 128, 128), spec3),
-            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, oh.shape[1], 128), spec3),
             pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z)),
-            pl.BlockSpec((1, 128, 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
-        ],
+        ]
+        + [pl.BlockSpec((1, 128, 128), cspec)] * 3,
         out_specs=pl.BlockSpec((1, ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
     )
     return pl.pallas_call(
@@ -269,11 +305,10 @@ def _call_f32(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d, nout, int
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, ROUT, 128), jnp.float32),
         interpret=interpret,
-    )(csel, osel, first, vals, lidx, oh, rbvec, chunks)
+    )(csel, osel, first, vals, lidx, oh, rbvec, *chunks)
 
 
-@functools.partial(jax.jit, static_argnames=("log2d", "nout", "interpret"))
-def _call_f64(csel, osel, first, vh, vl, lidx, oh, rbvec, ch, cl, log2d, nout, interpret):
+def _call_f64(csel, osel, first, vh, vl, lidx, oh, rbvec, chunks, log2d, nout, interpret):
     nsteps = vh.shape[0]
     spec3 = lambda s, *_: (s, _Z, _Z)
     cspec = lambda s, csel, *_: (csel[s], _Z, _Z)
@@ -285,11 +320,10 @@ def _call_f64(csel, osel, first, vh, vl, lidx, oh, rbvec, ch, cl, log2d, nout, i
             pl.BlockSpec((1, 128, 128), spec3),
             pl.BlockSpec((1, 128, 128), spec3),
             pl.BlockSpec((1, 128, 128), spec3),
-            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, oh.shape[1], 128), spec3),
             pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z)),
-            pl.BlockSpec((1, 128, 128), cspec),
-            pl.BlockSpec((1, 128, 128), cspec),
-        ],
+        ]
+        + [pl.BlockSpec((1, 128, 128), cspec)] * 5,
         out_specs=[
             pl.BlockSpec((1, ROUT, 128), ospec),
             pl.BlockSpec((1, ROUT, 128), ospec),
@@ -303,7 +337,7 @@ def _call_f64(csel, osel, first, vh, vl, lidx, oh, rbvec, ch, cl, log2d, nout, i
             jax.ShapeDtypeStruct((nout, ROUT, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(csel, osel, first, vh, vl, lidx, oh, rbvec, ch, cl)
+    )(csel, osel, first, vh, vl, lidx, oh, rbvec, *chunks)
 
 
 class _DeviceSwellPlan:
@@ -338,25 +372,11 @@ class _DeviceSwellPlan:
             )
 
     def prep_x(self, x):
-        n_pad = self.nchunks * CHUNK_W * CW
-        if self.dtype == np.float64:
-            x64 = x.astype(jnp.float64)
-            xh = x64.astype(jnp.float32)
-            xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
-            xh = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xh)
-            xl = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xl)
-            return (
-                xh.reshape(self.nchunks, CHUNK_W, CW),
-                xl.reshape(self.nchunks, CHUNK_W, CW),
-            )
-        xp = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(x.astype(jnp.float32))
-        return (xp.reshape(self.nchunks, CHUNK_W, CW),)
+        """bf16 chunk planes for the TPU kernels (see _prep_x_pure)."""
+        return _prep_x_pure(x, self.nchunks, self.dtype == np.float64, native=False)
 
     def prep_x_native(self, x):
-        n_pad = self.nchunks * CHUNK_W * CW
-        dt = jnp.float64 if self.dtype == np.float64 else jnp.float32
-        xp = jnp.zeros((n_pad,), dt).at[: x.shape[0]].set(x.astype(dt))
-        return xp.reshape(self.nchunks, CHUNK_W, CW)
+        return _prep_x_pure(x, self.nchunks, self.dtype == np.float64, native=True)[0]
 
     def native_vals(self, i):
         b = self.buckets[i]
@@ -411,21 +431,48 @@ def _statics(dp: _DeviceSwellPlan, interp: bool):
     )
 
 
+def _bf16_rne(xf32):
+    """Round f32 to the nearest bf16-representable f32 via INTEGER bit ops.
+
+    A plain ``x.astype(bf16).astype(f32)`` round-trip is ELIDED by XLA TPU under
+    --xla_allow_excess_precision=true (set in this environment), which silently
+    destroys the plane decomposition (observed: every output off by ~1e-3).
+    Integer rounding is opaque to floating-point simplification."""
+    u = jax.lax.bitcast_convert_type(xf32, jnp.uint32)
+    r = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(r, jnp.float32)
+
+
+def _bf16_planes(xf32, k):
+    """Split an f32 array into k bf16 planes with exact (disjoint-mantissa) sum."""
+    planes = []
+    r = xf32
+    for _ in range(k - 1):
+        c = _bf16_rne(r)
+        planes.append(c.astype(jnp.bfloat16))  # exact: c is bf16-representable
+        r = r - c                              # exact: Sterbenz
+    planes.append(r.astype(jnp.bfloat16))
+    return planes
+
+
 def _prep_x_pure(x, nchunks, is64, native):
     n_pad = nchunks * CHUNK_W * CW
+    shape = (nchunks, CHUNK_W, CW)
     if native:
         dt = jnp.float64 if is64 else jnp.float32
         xp = jnp.zeros((n_pad,), dt).at[: x.shape[0]].set(x.astype(dt))
-        return (xp.reshape(nchunks, CHUNK_W, CW),)
+        return (xp.reshape(shape),)
     if is64:
         x64 = x.astype(jnp.float64)
         xh = x64.astype(jnp.float32)
         xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
-        xh = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xh)
-        xl = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xl)
-        return (xh.reshape(nchunks, CHUNK_W, CW), xl.reshape(nchunks, CHUNK_W, CW))
-    xp = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(x.astype(jnp.float32))
-    return (xp.reshape(nchunks, CHUNK_W, CW),)
+        xh = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xh).reshape(shape)
+        xl = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xl).reshape(shape)
+        # hi needs all 24 mantissa bits (3 planes); lo only contributes the
+        # first-order cross term, so 16 bits (2 planes) keeps overall error ~2^-40
+        return tuple(_bf16_planes(xh, 3) + _bf16_planes(xl, 2))
+    xp = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(x.astype(jnp.float32)).reshape(shape)
+    return tuple(_bf16_planes(xp, 3))
 
 
 def swell_ax(bargs, x, statics):
@@ -443,14 +490,14 @@ def swell_ax(bargs, x, statics):
             part = o if is64 else o.astype(jnp.float32)
         elif is64:
             ohi, oerr = _call_f64(csel, osel, first, vals[0], vals[1], lidx, oh,
-                                  rbvec, chunks[0], chunks[1], log2d, nout, False)
+                                  rbvec, chunks, log2d, nout, False)
             mask = touched[:, None, None]
             part = jnp.where(mask, ohi, 0.0).astype(jnp.float64) + jnp.where(
                 mask, oerr, 0.0
             ).astype(jnp.float64)
         else:
             o = _call_f32(csel, osel, first, vals[0], lidx, oh, rbvec,
-                          chunks[0], log2d, nout, False)
+                          chunks, log2d, nout, False)
             part = jnp.where(touched[:, None, None], o, 0.0)
         total = part if total is None else total + part
     total = total.reshape(nout, tile_rb, copies, 128).sum(axis=2)

@@ -208,11 +208,13 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
             (slab_rb[sq] % tile_rb) * copies + slab_copy[sq]
         ).astype(np.int32)
 
-        onehot = np.zeros((nsteps, 128, 128), dtype=np.int8)
+        # one-hot per slab POSITION (the kernel builds a (P,128) table and
+        # tile-expands it over sublanes; storing per-position rows instead of
+        # per-sublane rows shrinks the array D-fold).  int8 min sublane tile = 32.
+        ohp = max(P, 32)
+        onehot = np.zeros((nsteps, ohp, 128), dtype=np.int8)
         w_local = (slab_w[sq] & (CHUNK_W - 1)).astype(np.int64)
-        # slab sq[j] covers sublanes slot*P + pos for slot in [0, D)
-        subl = (np.arange(D)[None, :] * P + pos_of[:, None])  # (nb, D)
-        onehot[step_of[:, None], subl, w_local[:, None]] = 1
+        onehot[step_of, pos_of, w_local] = 1
 
         # scatter nnz of this bucket
         esel = np.flatnonzero(layer_k == k)
