@@ -165,12 +165,12 @@ def _make_f64_kernel(log2d: int):
     def kernel(
         csel_r, osel_r, first_r,
         vh_ref, vl_ref, lidx_ref, oh_ref, rb_ref,
-        c1_ref, c2_ref, c3_ref, l1_ref, l2_ref,
+        c1_ref, c2_ref, c3_ref, l1_ref, l2_ref, l3_ref,
         ohi_ref, oerr_ref,
     ):
         s = pl.program_id(0)
         th = _table(oh_ref, (c1_ref, c2_ref, c3_ref), P, D)
-        tl = _table(oh_ref, (l1_ref, l2_ref), P, D)
+        tl = _table(oh_ref, (l1_ref, l2_ref, l3_ref), P, D)
         idx = lidx_ref[0].astype(jnp.int32)
         gh = _lane_gather(th, idx)
         gl = _lane_gather(tl, idx)
@@ -323,7 +323,7 @@ def _call_f64(csel, osel, first, vh, vl, lidx, oh, rbvec, chunks, log2d, nout, i
             pl.BlockSpec((1, oh.shape[1], 128), spec3),
             pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z)),
         ]
-        + [pl.BlockSpec((1, 128, 128), cspec)] * 5,
+        + [pl.BlockSpec((1, 128, 128), cspec)] * 6,
         out_specs=[
             pl.BlockSpec((1, ROUT, 128), ospec),
             pl.BlockSpec((1, ROUT, 128), ospec),
@@ -468,9 +468,11 @@ def _prep_x_pure(x, nchunks, is64, native):
         xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
         xh = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xh).reshape(shape)
         xl = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xl).reshape(shape)
-        # hi needs all 24 mantissa bits (3 planes); lo only contributes the
-        # first-order cross term, so 16 bits (2 planes) keeps overall error ~2^-40
-        return tuple(_bf16_planes(xh, 3) + _bf16_planes(xl, 2))
+        # hi needs all 24 mantissa bits (3 planes); lo also gets 3 (exact), because
+        # a 2-plane lo truncates xl at 16 bits -> abs error ~2^-40|x|, which breaches
+        # the rel-1e-7 gate on heavy-cancellation rows (|y| ~ 1e-6 of the summands)
+        # once matrices reach millions of rows.  3 planes puts the floor at 2^-48|x|.
+        return tuple(_bf16_planes(xh, 3) + _bf16_planes(xl, 3))
     xp = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(x.astype(jnp.float32)).reshape(shape)
     return tuple(_bf16_planes(xp, 3))
 
