@@ -37,7 +37,7 @@ def make_kernel(log2d, variant):
                ch_ref, cl_ref, ohi_ref, oerr_ref):
         s = pl.program_id(0)
         if variant == "stream":
-            v = vh_ref[0] * 1.0001 + vl_ref[0] + lidx_ref[0].astype(jnp.float32) + oh_ref[0].astype(jnp.float32)
+            v = vh_ref[0] * 1.0001 + vl_ref[0] + lidx_ref[0].astype(jnp.float32)
             @pl.when(first_r[s] == 1)
             def _():
                 ohi_ref[0] = v
@@ -46,13 +46,18 @@ def make_kernel(log2d, variant):
             def _():
                 ohi_ref[0] = ohi_ref[0] + v
             return
-        oh = oh_ref[0].astype(jnp.float32)
+        D = 1 << log2d
+
+        def expand(ts):
+            return ts if D == 1 else jnp.broadcast_to(ts[None], (D, P, 128)).reshape(128, 128)
+
+        oh = oh_ref[0, :P].astype(jnp.float32)
         if variant == "nomatmul":
             th = ch_ref[0]
             tl = cl_ref[0]
         else:
-            th = _dot(oh, ch_ref[0])
-            tl = _dot(oh, cl_ref[0])
+            th = expand(_dot(oh, ch_ref[0]))
+            tl = expand(_dot(oh, cl_ref[0]))
         idx = lidx_ref[0].astype(jnp.int32)
         if variant == "nogather":
             gh, gl = th, tl
@@ -115,7 +120,8 @@ def call_variant(variant, b, ch, cl, nout):
     ospec = lambda s, csel, osel, *_: (osel[s], _Z, _Z)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3, grid=(nsteps,),
-        in_specs=[pl.BlockSpec((1, 128, 128), spec3)] * 4
+        in_specs=[pl.BlockSpec((1, 128, 128), spec3)] * 3
+        + [pl.BlockSpec((1, b["oh"].shape[1], 128), spec3)]
         + [pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z))]
         + [pl.BlockSpec((1, 128, 128), cspec)] * 2,
         out_specs=[pl.BlockSpec((1, ROUT, 128), ospec)] * 2,
@@ -135,7 +141,14 @@ def main():
     nsteps = b["vals"][0].shape[0]
     print(f"bucket depth=2^{b['log2d']} nsteps={nsteps} fill={dp.plan.fill_efficiency:.3f}", flush=True)
     x = np.random.default_rng(0).standard_normal(csr.cols)
-    ch, cl = dp.prep_x(jnp.asarray(x))
+    # full-f32 hi/lo chunk planes (the pre-bf16-plane kernel layout this profiler ablates)
+    from spmv_acc_tpu.ops.swell_plan import CHUNK_W as _CWIN
+    n_pad = dp.nchunks * _CWIN * CW
+    x64 = np.zeros(n_pad); x64[: csr.cols] = x
+    xh = x64.astype(np.float32)
+    xl = (x64 - xh.astype(np.float64)).astype(np.float32)
+    ch = jnp.asarray(xh.reshape(dp.nchunks, _CWIN, CW))
+    cl = jnp.asarray(xl.reshape(dp.nchunks, _CWIN, CW))
 
     LOG2D = b["log2d"]
 

@@ -4,13 +4,14 @@ tile engine; supersedes `adaptive_plus` as the adaptive default on TPU).
 Kernel shape (one grid step = 128 sublanes × 128 lanes of nnz slots, one depth-D
 bucket per pallas_call; see ops/swell_plan.py for the decomposition):
 
-  1. **x-table build**: ``table = onehot @ chunk`` — an MXU matmul with a one-hot
-     (128×128) selector picks each sublane's 128-column x window out of the step's
-     16384-column x chunk.  One-hot weights make the bf16x3 (Precision.HIGH) matmul
-     bit-exact, so no precision is lost.  This replaces the per-slab dynamic-slice
-     loop of the v1 kernel (~15 cycles/slab) with one MXU op.
-  2. **gather**: one (128,128) lane-permutation gather fetches x per slot — the one
-     gather Mosaic lowers natively.
+  1. **x-table build**: ``tables = onehot @ chunk`` — an MXU matmul with a dual
+     one-hot selector picks, per slab position, the TWO aligned 128-col x rows
+     (w and w+1) bracketing the slab's unaligned 256-col window out of the step's
+     16384-column x chunk.  One-hot weights make the bf16-plane matmuls bit-exact,
+     so no precision is lost.
+  2. **gather + select**: two (128,128) lane-permutation gathers (the one gather
+     Mosaic lowers natively) + a bit-7 select fetch x per slot from the unaligned
+     window.
   3. **product + fold**: elementwise products, then log2(D) *contiguous-half* fold
      levels (slot-major interleaved sublane order makes every level a static
      half-slice add) reduce each slab to its per-row partial sums.
@@ -89,27 +90,60 @@ def _dot1(a, b):
     )
 
 
-def _table(oh_ref, chunk_refs, P, D):
-    """Build the (128,128) per-sublane x table from the per-POSITION one-hot and
-    bf16-split chunk planes.
+def _tables(oh, planes, P, D, wide=True):
+    """Build the pair of (128,128) per-sublane x tables (aligned rows A = window
+    base w, B = w+1) from the dual per-POSITION one-hot and bf16-split chunk planes.
 
-    Profiling showed the two HIGHEST-precision (128,128,128) one-hot matmuls were
-    ~50% of the step.  Replacement: a (P,128,128) matmul per bf16 plane at DEFAULT
+    Profiling showed the HIGHEST-precision (128,128,128) one-hot matmuls were ~50%
+    of the step.  Replacement: one (BOFF+P,128,128) matmul per bf16 plane at DEFAULT
     precision — each plane is a single MXU pass, the one-hot rows make every output
     element a sum of ≤1 nonzero per plane (exact), and the planes are disjoint
     mantissa segments of the f32 chunk so their f32 sum reconstructs it exactly.
-    The (P,128) result tiles over sublanes (slot-major order ⇒ plain broadcast).
+    The (P,128) halves tile over sublanes (slot-major order ⇒ plain broadcast).
     """
-    ohb = oh_ref[0, :P].astype(jnp.bfloat16)  # (P,128)
+    boff = max(P, 8)
+    nrows = boff + P if wide else P
+    ohb = oh[:nrows].astype(jnp.bfloat16)  # [A | pad | B] (wide) or [A] (narrow)
     # ASCENDING plane order makes the f32 reconstruction exact: c3+c2 equals the
     # first split residual r1 (itself an f32), and r1+c1 == x by construction —
     # descending order instead rounds the 25-bit span and leaks ~2^-24 |x|.
-    ts = _dot1(ohb, chunk_refs[-1][0])
-    for c in reversed(chunk_refs[:-1]):
-        ts = ts + _dot1(ohb, c[0])
-    if D == 1:
-        return ts
-    return jnp.broadcast_to(ts[None], (D, P, 128)).reshape(128, 128)
+    ts = _dot1(ohb, planes[-1])
+    for c in reversed(planes[:-1]):
+        ts = ts + _dot1(ohb, c)
+
+    def expand(t):
+        if D == 1:
+            return t
+        return jnp.broadcast_to(t[None], (D, P, 128)).reshape(128, 128)
+
+    if not wide:
+        return expand(ts[:P]), None
+    return expand(ts[:P]), expand(ts[boff : boff + P])
+
+
+def _unpack_bytes(words, nrows):
+    """(W,128) int32 -> (4W,128) int32 of byte planes; logical row j*W + k is byte
+    j of word row k (the plan packs in exactly this order)."""
+    return jnp.concatenate(
+        [(words >> (8 * j)) & 255 for j in range(4)], axis=0
+    )[:nrows]
+
+
+def _packed_rows(log2d: int, is64: bool, wide: bool):
+    """Row layout of the per-step packed int32 buffer (single large DMA)."""
+    P = 128 >> log2d
+    boff = max(P, 8)
+    ohl = 2 * boff if wide else max(4, -(-P // 4) * 4)
+    ohw = ohl // 4
+    nval = 256 if is64 else 128
+    r = nval + 32 + ohw + 1
+    return P, boff, ohw, nval, -(-r // 8) * 8
+
+
+def _gather_sel(ta, tb, idx):
+    """Dual-window gather: idx in [0,256) spans table A (0..127) then B (128..255)."""
+    ilo = jnp.bitwise_and(idx, 127)
+    return jnp.where(idx >= 128, _lane_gather(tb, ilo), _lane_gather(ta, ilo))
 
 
 def _build_T(rb_row, P):
@@ -119,24 +153,47 @@ def _build_T(rb_row, P):
     return (iota == rb).astype(jnp.float32)
 
 
+def _scatter_exact(rb_row, tensors, P):
+    """Scatter each (P,128) tensor into (ROUT,128) rows via the one-hot T — exactly,
+    using 3 bf16 planes per tensor at DEFAULT precision (3 single MXU passes)
+    instead of one HIGHEST dot (6 passes).  Exact because T is one-hot (<=1 summand
+    per output row) and the ascending-order plane sum reconstructs f32 exactly."""
+    tb = _build_T(rb_row, P).astype(jnp.bfloat16)
+    outs = []
+    for a in tensors:
+        c1 = _bf16_rne(a)
+        r1 = a - c1
+        c2 = _bf16_rne(r1)
+        c3 = (r1 - c2).astype(jnp.bfloat16)
+        o = _dot1(tb, c3)
+        o = o + _dot1(tb, c2.astype(jnp.bfloat16))
+        o = o + _dot1(tb, c1.astype(jnp.bfloat16))
+        outs.append(o)
+    return outs
+
+
 # ------------------------------------------------------------------- kernels
 
 
-def _make_f32_kernel(log2d: int):
-    P = 128 >> log2d
+def _make_f32_kernel(log2d: int, wide: bool):
+    P, boff, ohw, nval, _ = _packed_rows(log2d, False, wide)
     D = 1 << log2d
 
-    def kernel(csel_r, osel_r, first_r, vals_ref, lidx_ref, oh_ref, rb_ref,
-               c1_ref, c2_ref, c3_ref, o_ref):
+    def kernel(csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref):
         s = pl.program_id(0)
-        table = _table(oh_ref, (c1_ref, c2_ref, c3_ref), P, D)
-        g = _lane_gather(table, lidx_ref[0].astype(jnp.int32))
-        p = vals_ref[0] * g
+        buf = packed_ref[0]
+        vals = jax.lax.bitcast_convert_type(buf[:128], jnp.float32)
+        idx = _unpack_bytes(buf[128:160], 128)
+        oh = _unpack_bytes(buf[160 : 160 + ohw], 4 * ohw)
+        rb = buf[160 + ohw : 161 + ohw]
+        planes = [chunk_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]
+        ta, tb = _tables(oh, planes, P, D, wide)
+        g = _gather_sel(ta, tb, idx) if wide else _lane_gather(ta, idx)
+        p = vals * g
         for _ in range(log2d):
             half = p.shape[0] // 2
             p = p[:half] + p[half:]
-        T = _build_T(rb_ref[0], P)
-        contrib = _dot(T, p)
+        (contrib,) = _scatter_exact(rb, (p,), P)
         first = first_r[s]
 
         @pl.when(first == 1)
@@ -157,25 +214,27 @@ def _split(a):
     return hi, a - hi
 
 
-def _make_f64_kernel(log2d: int):
-    P = 128 >> log2d
-
+def _make_f64_kernel(log2d: int, wide: bool):
+    P, boff, ohw, nval, _ = _packed_rows(log2d, True, wide)
     D = 1 << log2d
 
-    def kernel(
-        csel_r, osel_r, first_r,
-        vh_ref, vl_ref, lidx_ref, oh_ref, rb_ref,
-        c1_ref, c2_ref, c3_ref, l1_ref, l2_ref, l3_ref,
-        ohi_ref, oerr_ref,
-    ):
+    def kernel(csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref):
         s = pl.program_id(0)
-        th = _table(oh_ref, (c1_ref, c2_ref, c3_ref), P, D)
-        tl = _table(oh_ref, (l1_ref, l2_ref, l3_ref), P, D)
-        idx = lidx_ref[0].astype(jnp.int32)
-        gh = _lane_gather(th, idx)
-        gl = _lane_gather(tl, idx)
-        vh = vh_ref[0]
-        vl = vl_ref[0]
+        buf = packed_ref[0]
+        vh = jax.lax.bitcast_convert_type(buf[:128], jnp.float32)
+        vl = jax.lax.bitcast_convert_type(buf[128:256], jnp.float32)
+        idx = _unpack_bytes(buf[256:288], 128)
+        oh = _unpack_bytes(buf[288 : 288 + ohw], 4 * ohw)
+        rb = buf[288 + ohw : 289 + ohw]
+        planes = [chunk_ref[0, i * 128 : (i + 1) * 128] for i in range(6)]
+        tha, thb = _tables(oh, planes[:3], P, D, wide)
+        tla, tlb = _tables(oh, planes[3:], P, D, wide)
+        if wide:
+            gh = _gather_sel(tha, thb, idx)
+            gl = _gather_sel(tla, tlb, idx)
+        else:
+            gh = _lane_gather(tha, idx)
+            gl = _lane_gather(tla, idx)
         # Dekker two_prod (FMA-free) + first-order cross terms
         p = vh * gh
         ah, al = _split(vh)
@@ -192,24 +251,22 @@ def _make_f64_kernel(log2d: int):
             err = (a - (ssum - bb)) + (b - bb)
             e = e[:half] + e[half:] + err
             p = ssum
-        T = _build_T(rb_ref[0], P)
-        ph = _dot(T, p)   # exact: one-hot, <=1 summand per output row
-        pe = _dot(T, e)
+        ph, pe = _scatter_exact(rb, (p, e), P)
         first = first_r[s]
 
         @pl.when(first == 1)
         def _():
-            ohi_ref[0] = ph
-            oerr_ref[0] = pe
+            o_ref[0, :ROUT] = ph
+            o_ref[0, ROUT:] = pe
 
         @pl.when(first == 0)
         def _():
-            cur = ohi_ref[0]
+            cur = o_ref[0, :ROUT]
             ssum = cur + ph
             bb = ssum - cur
             err = (cur - (ssum - bb)) + (ph - bb)
-            ohi_ref[0] = ssum
-            oerr_ref[0] = oerr_ref[0] + pe + err
+            o_ref[0, :ROUT] = ssum
+            o_ref[0, ROUT:] = o_ref[0, ROUT:] + pe + err
 
     return kernel
 
@@ -231,7 +288,7 @@ def _make_f64_kernel(log2d: int):
 #    hardware (bench.py golden verify + tools/verify_tpu.py).
 
 
-def _make_native_steps_kernel(log2d: int, dtype):
+def _make_native_steps_kernel(log2d: int, wide: bool, dtype):
     P = 128 >> log2d
     D = 1 << log2d
 
@@ -242,10 +299,23 @@ def _make_native_steps_kernel(log2d: int, dtype):
         )
 
     def kernel(csel_r, osel_r, first_r, vals_ref, lidx_ref, oh_ref, rb_ref, chunk_ref, o_ref):
-        oh = oh_ref[0, :P].astype(dtype)
-        ts = dot(oh, chunk_ref[0])  # (P, 128) — one row per slab position
-        table = ts if D == 1 else jnp.broadcast_to(ts[None], (D, P, 128)).reshape(128, 128)
-        g = _lane_gather(table, lidx_ref[0].astype(jnp.int32))
+        boff = max(P, 8)
+        oh = oh_ref[0, : boff + P if wide else P].astype(dtype)
+        ts = dot(oh, chunk_ref[0])  # A rows then (wide) B rows per position
+
+        def expand(t):
+            if D == 1:
+                return t
+            return jnp.broadcast_to(t[None], (D, P, 128)).reshape(128, 128)
+
+        ta = expand(ts[:P])
+        idx = lidx_ref[0].astype(jnp.int32)
+        if wide:
+            tb = expand(ts[boff : boff + P])
+            g = jnp.where(idx >= 128, _lane_gather(tb, jnp.bitwise_and(idx, 127)),
+                          _lane_gather(ta, jnp.bitwise_and(idx, 127)))
+        else:
+            g = _lane_gather(ta, idx)
         p = vals_ref[0] * g
         for _ in range(log2d):
             half = p.shape[0] // 2
@@ -255,8 +325,8 @@ def _make_native_steps_kernel(log2d: int, dtype):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("log2d", "nout"))
-def _call_native_interp(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d, nout):
+@functools.partial(jax.jit, static_argnames=("log2d", "wide", "nout"))
+def _call_native_interp(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d, wide, nout):
     """Interpret-mode path: per-step outputs in the source dtype, summed exactly."""
     nsteps = vals.shape[0]
     dtype = vals.dtype
@@ -274,7 +344,7 @@ def _call_native_interp(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d,
         out_specs=pl.BlockSpec((1, ROUT, 128), spec3),
     )
     per_step = pl.pallas_call(
-        _make_native_steps_kernel(log2d, dtype),
+        _make_native_steps_kernel(log2d, wide, dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nsteps, ROUT, 128), dtype),
         interpret=True,
@@ -284,60 +354,43 @@ def _call_native_interp(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d,
     )
 
 
-def _call_f32(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d, nout, interpret):
-    nsteps = vals.shape[0]
-    spec3 = lambda s, *_: (s, _Z, _Z)
-    cspec = lambda s, csel, *_: (csel[s], _Z, _Z)
+def _call_f32(csel, osel, first, packed, chunks, log2d, wide, nout, interpret):
+    nsteps = packed.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, 128, 128), spec3),
-            pl.BlockSpec((1, 128, 128), spec3),
-            pl.BlockSpec((1, oh.shape[1], 128), spec3),
-            pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z)),
-        ]
-        + [pl.BlockSpec((1, 128, 128), cspec)] * 3,
+            pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
+            pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+        ],
         out_specs=pl.BlockSpec((1, ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
     )
     return pl.pallas_call(
-        _make_f32_kernel(log2d),
+        _make_f32_kernel(log2d, wide),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, ROUT, 128), jnp.float32),
         interpret=interpret,
-    )(csel, osel, first, vals, lidx, oh, rbvec, *chunks)
+    )(csel, osel, first, packed, chunks)
 
 
-def _call_f64(csel, osel, first, vh, vl, lidx, oh, rbvec, chunks, log2d, nout, interpret):
-    nsteps = vh.shape[0]
-    spec3 = lambda s, *_: (s, _Z, _Z)
-    cspec = lambda s, csel, *_: (csel[s], _Z, _Z)
-    ospec = lambda s, csel, osel, *_: (osel[s], _Z, _Z)
+def _call_f64(csel, osel, first, packed, chunks, log2d, wide, nout, interpret):
+    nsteps = packed.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, 128, 128), spec3),
-            pl.BlockSpec((1, 128, 128), spec3),
-            pl.BlockSpec((1, 128, 128), spec3),
-            pl.BlockSpec((1, oh.shape[1], 128), spec3),
-            pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z)),
-        ]
-        + [pl.BlockSpec((1, 128, 128), cspec)] * 6,
-        out_specs=[
-            pl.BlockSpec((1, ROUT, 128), ospec),
-            pl.BlockSpec((1, ROUT, 128), ospec),
+            pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
+            pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
         ],
+        # hi rows [0, ROUT), err rows [ROUT, 2*ROUT) in ONE block: one write-back DMA
+        out_specs=pl.BlockSpec((1, 2 * ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
     )
     return pl.pallas_call(
-        _make_f64_kernel(log2d),
+        _make_f64_kernel(log2d, wide),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nout, ROUT, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nout, ROUT, 128), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((nout, 2 * ROUT, 128), jnp.float32),
         interpret=interpret,
-    )(csel, osel, first, vh, vl, lidx, oh, rbvec, *chunks)
+    )(csel, osel, first, packed, chunks)
 
 
 class _DeviceSwellPlan:
@@ -349,21 +402,22 @@ class _DeviceSwellPlan:
         self.nout = plan.nout
         self.nchunks = plan.nchunks
         self._host_buckets = plan.buckets  # for the interpret (native-dtype) path
+        tv = plan.tail_v if self.dtype == np.float64 else plan.tail_v.astype(np.float32)
+        self.tail = (jnp.asarray(plan.tail_rows), jnp.asarray(plan.tail_ci), jnp.asarray(tv))
         self.buckets = []
         for bk in plan.buckets:
             if self.dtype == np.float64:
                 vh = bk.values.astype(np.float32)
                 vl = (bk.values - vh.astype(np.float64)).astype(np.float32)
-                vals = (jnp.asarray(vh), jnp.asarray(vl))
+                vals = (vh, vl)
             else:
-                vals = (jnp.asarray(bk.values.astype(np.float32)),)
+                vals = (bk.values.astype(np.float32),)
+            log2d = int(np.log2(bk.depth))
             self.buckets.append(
                 dict(
-                    log2d=int(np.log2(bk.depth)),
-                    vals=vals,
-                    lidx=jnp.asarray(bk.lidx),
-                    oh=jnp.asarray(bk.onehot),
-                    rbvec=jnp.asarray(bk.rbvec)[:, None, :],
+                    log2d=log2d,
+                    wide=bk.wide,
+                    packed=jnp.asarray(_pack_bucket(bk, vals, log2d)),
                     csel=jnp.asarray(bk.chunksel),
                     osel=jnp.asarray(bk.outsel),
                     first=jnp.asarray(bk.first),
@@ -373,16 +427,42 @@ class _DeviceSwellPlan:
 
     def prep_x(self, x):
         """bf16 chunk planes for the TPU kernels (see _prep_x_pure)."""
-        return _prep_x_pure(x, self.nchunks, self.dtype == np.float64, native=False)
+        return _prep_x_pure(x, self.nchunks, self.dtype == np.float64, native=False,
+                            delta=self.plan.delta)
 
     def prep_x_native(self, x):
-        return _prep_x_pure(x, self.nchunks, self.dtype == np.float64, native=True)[0]
+        return _prep_x_pure(x, self.nchunks, self.dtype == np.float64, native=True,
+                            delta=self.plan.delta)[0]
 
-    def native_vals(self, i):
-        b = self.buckets[i]
-        if "vals_native" not in b:
-            b["vals_native"] = jnp.asarray(self._host_buckets[i].values)
-        return b["vals_native"]
+
+
+def _pack32(rows_u8):
+    """(n, 4W, 128) byte rows -> (n, W, 128) int32 words; byte j of word k holds
+    logical row j*W + k (matches the kernel's _unpack_bytes order)."""
+    w = rows_u8.shape[1] // 4
+    u = rows_u8.astype(np.uint32)
+    return (
+        u[:, :w] | (u[:, w : 2 * w] << 8) | (u[:, 2 * w : 3 * w] << 16)
+        | (u[:, 3 * w :] << 24)
+    ).view(np.int32)
+
+
+def _pack_bucket(bk, vals, log2d):
+    """Pack one bucket's per-step arrays into a single (nsteps, R, 128) int32
+    buffer — ONE large DMA per grid step instead of five small ones (measured:
+    64KB-block streams reach ~260 GB/s, 256KB single blocks ~750 GB/s)."""
+    is64 = len(vals) == 2
+    P, boff, ohw, nval, rpad = _packed_rows(log2d, is64, bk.wide)
+    assert bk.onehot.shape[1] == 4 * ohw, (bk.onehot.shape, ohw, bk.wide)
+    n = bk.nsteps
+    parts = [v.view(np.int32) for v in vals]
+    parts.append(_pack32(bk.lidx))
+    parts.append(_pack32(bk.onehot.astype(np.uint8)))
+    parts.append(bk.rbvec[:, None, :])
+    used = nval + 32 + ohw + 1
+    if rpad > used:
+        parts.append(np.zeros((n, rpad - used, 128), np.int32))
+    return np.concatenate(parts, axis=1)
 
 
 _SWELL_CACHE: dict = {}
@@ -414,11 +494,16 @@ def _bucket_args(dp: _DeviceSwellPlan, interp: bool):
     out = []
     for i, b in enumerate(dp.buckets):
         if interp:
-            out.append((b["csel"], b["osel"], b["first"], (dp.native_vals(i),),
-                        b["lidx"], b["oh"], b["rbvec"], b["touched"]))
+            if "interp_args" not in b:
+                hb = dp._host_buckets[i]
+                b["interp_args"] = (
+                    b["csel"], b["osel"], b["first"], jnp.asarray(hb.values),
+                    jnp.asarray(hb.lidx), jnp.asarray(hb.onehot),
+                    jnp.asarray(hb.rbvec)[:, None, :], b["touched"],
+                )
+            out.append(b["interp_args"])
         else:
-            out.append((b["csel"], b["osel"], b["first"], b["vals"],
-                        b["lidx"], b["oh"], b["rbvec"], b["touched"]))
+            out.append((b["csel"], b["osel"], b["first"], b["packed"], b["touched"]))
     return tuple(out)
 
 
@@ -426,8 +511,8 @@ def _statics(dp: _DeviceSwellPlan, interp: bool):
     p = dp.plan
     return (
         bool(dp.dtype == np.float64), bool(interp), p.nout, p.nchunks,
-        p.copies, p.tile_rb, p.rows,
-        tuple(b["log2d"] for b in dp.buckets),
+        p.copies, p.tile_rb, p.rows, p.delta,
+        tuple((b["log2d"], b["wide"]) for b in dp.buckets),
     )
 
 
@@ -455,55 +540,69 @@ def _bf16_planes(xf32, k):
     return planes
 
 
-def _prep_x_pure(x, nchunks, is64, native):
+def _prep_x_pure(x, nchunks, is64, native, delta=0):
+    """Chunk planes of x, front-padded by the plan's column phase shift delta."""
     n_pad = nchunks * CHUNK_W * CW
     shape = (nchunks, CHUNK_W, CW)
     if native:
         dt = jnp.float64 if is64 else jnp.float32
-        xp = jnp.zeros((n_pad,), dt).at[: x.shape[0]].set(x.astype(dt))
+        xp = jnp.zeros((n_pad,), dt).at[delta : delta + x.shape[0]].set(x.astype(dt))
         return (xp.reshape(shape),)
     if is64:
         x64 = x.astype(jnp.float64)
         xh = x64.astype(jnp.float32)
         xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
-        xh = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xh).reshape(shape)
-        xl = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(xl).reshape(shape)
+        xh = jnp.zeros((n_pad,), jnp.float32).at[delta : delta + x.shape[0]].set(xh).reshape(shape)
+        xl = jnp.zeros((n_pad,), jnp.float32).at[delta : delta + x.shape[0]].set(xl).reshape(shape)
         # hi needs all 24 mantissa bits (3 planes); lo also gets 3 (exact), because
         # a 2-plane lo truncates xl at 16 bits -> abs error ~2^-40|x|, which breaches
         # the rel-1e-7 gate on heavy-cancellation rows (|y| ~ 1e-6 of the summands)
         # once matrices reach millions of rows.  3 planes puts the floor at 2^-48|x|.
-        return tuple(_bf16_planes(xh, 3) + _bf16_planes(xl, 3))
-    xp = jnp.zeros((n_pad,), jnp.float32).at[: x.shape[0]].set(x.astype(jnp.float32)).reshape(shape)
-    return tuple(_bf16_planes(xp, 3))
+        # Planes stack along sublanes -> ONE (nchunks, 768, 128) array, one DMA.
+        return jnp.concatenate(_bf16_planes(xh, 3) + _bf16_planes(xl, 3), axis=1)
+    xp = jnp.zeros((n_pad,), jnp.float32).at[delta : delta + x.shape[0]].set(
+        x.astype(jnp.float32)
+    ).reshape(shape)
+    return jnp.concatenate(_bf16_planes(xp, 3), axis=1)
 
 
-def swell_ax(bargs, x, statics):
+def swell_ax(bargs, tail, x, statics):
     """Pure A@x over the swell plan; safe to trace inside any outer jit/loop."""
-    is64, interp, nout, nchunks, copies, tile_rb, rows, log2ds = statics
+    is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds = statics
     out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
     if not bargs:
-        return jnp.zeros((rows,), out_dt)
-    chunks = _prep_x_pure(x, nchunks, is64, native=interp)
-    total = None
-    for (csel, osel, first, vals, lidx, oh, rbvec, touched), log2d in zip(bargs, log2ds):
-        if interp:
-            o = _call_native_interp(csel, osel, first, vals[0], lidx, oh, rbvec,
-                                    chunks[0], log2d, nout)
-            part = o if is64 else o.astype(jnp.float32)
-        elif is64:
-            ohi, oerr = _call_f64(csel, osel, first, vals[0], vals[1], lidx, oh,
-                                  rbvec, chunks, log2d, nout, False)
-            mask = touched[:, None, None]
-            part = jnp.where(mask, ohi, 0.0).astype(jnp.float64) + jnp.where(
-                mask, oerr, 0.0
-            ).astype(jnp.float64)
-        else:
-            o = _call_f32(csel, osel, first, vals[0], lidx, oh, rbvec,
-                          chunks, log2d, nout, False)
-            part = jnp.where(touched[:, None, None], o, 0.0)
-        total = part if total is None else total + part
-    total = total.reshape(nout, tile_rb, copies, 128).sum(axis=2)
-    return total.reshape(-1)[:rows].astype(out_dt)
+        y = jnp.zeros((rows,), out_dt)
+    else:
+        chunks = _prep_x_pure(x, nchunks, is64, native=interp, delta=delta)
+        total = None
+        for ba, (log2d, wide) in zip(bargs, log2ds):
+            if interp:
+                csel, osel, first, vals, lidx, oh, rbvec, touched = ba
+                o = _call_native_interp(csel, osel, first, vals, lidx, oh, rbvec,
+                                        chunks[0], log2d, wide, nout)
+                part = o if is64 else o.astype(jnp.float32)
+            elif is64:
+                csel, osel, first, packed, touched = ba
+                o = _call_f64(csel, osel, first, packed, chunks, log2d, wide, nout, False)
+                mask = touched[:, None, None]
+                part = jnp.where(mask, o[:, :ROUT], 0.0).astype(jnp.float64) + jnp.where(
+                    mask, o[:, ROUT:], 0.0
+                ).astype(jnp.float64)
+            else:
+                csel, osel, first, packed, touched = ba
+                o = _call_f32(csel, osel, first, packed, chunks, log2d, wide, nout, False)
+                part = jnp.where(touched[:, None, None], o, 0.0)
+            total = part if total is None else total + part
+        total = total.reshape(nout, tile_rb, copies, 128).sum(axis=2)
+        y = total.reshape(-1)[:rows].astype(out_dt)
+    trows, tci, tv = tail
+    if trows.shape[0] > 0:
+        # COO tail (spilled low-fill instances): f64 gather + segment_sum is exact
+        # and cheap for the few-percent nnz that land here
+        y = y + jax.ops.segment_sum(
+            tv.astype(out_dt) * x[tci].astype(out_dt), trows, num_segments=rows
+        )
+    return y
 
 
 _swell_ax_jit = jax.jit(swell_ax, static_argnames=("statics",))
@@ -512,13 +611,13 @@ _swell_ax_jit = jax.jit(swell_ax, static_argnames=("statics",))
 def swell_spmv_f32(dp: _DeviceSwellPlan, x):
     """A@x in f32; returns (m,) f32."""
     interp = _interpret()
-    return _swell_ax_jit(_bucket_args(dp, interp), x, _statics(dp, interp))
+    return _swell_ax_jit(_bucket_args(dp, interp), dp.tail, x, _statics(dp, interp))
 
 
 def swell_spmv_f64(dp: _DeviceSwellPlan, x):
     """A@x in compensated two-f32 (native f64 under interpret); returns (m,) f64."""
     interp = _interpret()
-    return _swell_ax_jit(_bucket_args(dp, interp), x, _statics(dp, interp))
+    return _swell_ax_jit(_bucket_args(dp, interp), dp.tail, x, _statics(dp, interp))
 
 
 def spmv_swell(alpha, beta, csr, x, y, plan=None):
@@ -534,14 +633,14 @@ def spmv_swell(alpha, beta, csr, x, y, plan=None):
 
 
 @functools.partial(jax.jit, static_argnames=("statics",))
-def _swell_power_run(bargs, x, y, alpha, beta, n, statics):
+def _swell_power_run(bargs, tail, x, y, alpha, beta, n, statics):
     """n chained SpMV steps on device.  The feedback multiplier depends on the
     result, so XLA cannot hoist the loop-invariant SpMV; it perturbs x by ~1e-30
     relatively, so magnitudes stay stable for any iteration count and the chain
     works for rectangular matrices (x and A@x shapes differ)."""
 
     def body(i, xx):
-        ax = alpha * swell_ax(bargs, xx, statics) + beta * y
+        ax = alpha * swell_ax(bargs, tail, xx, statics) + beta * y
         return xx * (1.0 + jnp.mean(ax * ax) * 1e-30)
 
     return jax.lax.fori_loop(0, n, body, x)
@@ -558,6 +657,6 @@ def make_swell_run(csr, alpha=1.0, beta=1.0):
     b = csr.values.dtype.type(beta)
 
     def run(x, y, n):
-        return _swell_power_run(bargs, x, y, a, b, n, statics)
+        return _swell_power_run(bargs, dp.tail, x, y, a, b, n, statics)
 
     return run

@@ -6,13 +6,22 @@ builds the block decomposition the Pallas kernel consumes.
 
 Decomposition
 -------------
-* The matrix is cut into (128-row × 128-col) **windows**; lane = row-in-block, so the
-  x fetch per element is a lane permutation — the one gather Mosaic lowers natively.
-* Each (row-block, window) group is sliced into **layers** whose depths follow the
-  binary decomposition of the group's max per-row count (e.g. max 5 → layers of depth
+* Each 128-row **row-block**'s nnz are greedily clustered by column into **window
+  instances**: a sweep over the block's sorted columns opens a window at the first
+  uncovered column c and claims every block nnz with col < 128*(c>>7) + 256 (width
+  128 when c's aligned slot is the last in its chunk).  A window is realized in the
+  kernel as TWO aligned 128-col x-table rows (w = c>>7 and w+1) with uint8 in-window
+  indices in [0, 256) and a gather-on-each + select-on-bit-7.  Unaligned windows
+  eliminate the aligned-grid row splits that capped fill at ~0.45 on banded/FEM
+  matrices (a contiguous run of width <= 128 ALWAYS fits its window).
+  lane = row-in-block, so the x fetch per element is a lane permutation — the one
+  gather Mosaic lowers natively.
+* Each window instance is sliced into **layers** whose depths follow the binary
+  decomposition of the instance's max per-row count (e.g. max 5 → layers of depth
   4 and 1).  Power-of-two depths make the kernel's in-register fold exact and
-  slice-shrinking; binary decomposition eliminates the old pow2-of-max padding
-  (5 → 4+1 slots instead of 8).
+  slice-shrinking; binary decomposition eliminates pow2-of-max padding (5 → 4+1
+  slots instead of 8).  Instances whose max count exceeds 128 are split by slot
+  half so every layer depth stays <= 128.
 * A **slab** = one layer of one group: (depth × 128 lanes).
 * Slabs are packed into 128-sublane **steps**, bucketed by depth D.  Sublane order is
   slot-major interleaved (sublane = slot*P + slab_position, P = 128/D) so the fold
@@ -46,10 +55,11 @@ class SwellBucket:
     """All steps of one slab depth D."""
 
     depth: int                 # D
+    wide: bool                 # any in-window index >= 128 (B table row needed)
     nsteps: int
     values: np.ndarray         # (nsteps, 128, 128) source dtype
-    lidx: np.ndarray           # (nsteps, 128, 128) int8 — column within window
-    onehot: np.ndarray         # (nsteps, 128, 128) int8 — window-in-chunk per sublane
+    lidx: np.ndarray           # (nsteps, 128, 128) uint8 — index within the 256-col window
+    onehot: np.ndarray         # (nsteps, ohp, 128) int8 — dual window-in-chunk per position
     rbvec: np.ndarray          # (nsteps, 128) int32 — row-block (mod ROUT) per slab pos, -1 pad
     chunksel: np.ndarray       # (nsteps,) int32 — x chunk id
     outsel: np.ndarray         # (nsteps,) int32 — output window id
@@ -66,7 +76,11 @@ class SwellPlan:
     nnz: int
     nout: int                  # ceil(mrb / tile_rb)
     nchunks: int               # ceil(n / 16384)
-    fill_efficiency: float     # nnz / padded slots
+    # COO tail: nnz of spilled low-fill instances, handled outside Pallas
+    tail_rows: np.ndarray      # (tnnz,) int32
+    tail_ci: np.ndarray        # (tnnz,) int32
+    tail_v: np.ndarray         # (tnnz,) source dtype
+    fill_efficiency: float     # kernel nnz / padded slots
     total_steps: int
     # Small matrices have fewer row-blocks than a step has slab positions, so the
     # <=1-slab-per-row-block constraint would leave steps mostly empty.  Each
@@ -74,6 +88,73 @@ class SwellPlan:
     # row-block uses copy j%copies); the wrapper sums the copies in f64 — exact.
     copies: int = 1
     tile_rb: int = ROUT        # row-blocks per output tile = 128 // copies
+    # global column phase shift: windows are built on col+delta (x is front-padded
+    # with delta zeros), chosen so the dominant block phase lands on an aligned
+    # window start — re-aligns diagonal structure that would otherwise straddle
+    # three aligned windows and orphan its boundary lanes
+    delta: int = 0
+
+
+def _greedy_windows(cb, bb):
+    """Greedy unaligned window clustering over block-sorted (bb, cb) nnz.
+
+    Returns (w_sorted, inst_sorted, inst_rb, inst_w, n_inst): per-nnz window base
+    and instance id (in the sorted order), plus per-instance row-block and base.
+    """
+    nnz = len(cb)
+    blk_new = np.empty(nnz, dtype=bool)
+    blk_new[0] = True
+    np.not_equal(bb[1:], bb[:-1], out=blk_new[1:])
+    blk_start = np.flatnonzero(blk_new)
+    blk_end = np.concatenate([blk_start[1:], [nnz]])
+    KB = np.int64(1) << 36  # > any column bound
+    key_sorted = bb * KB + cb
+    w_sorted = np.empty(nnz, dtype=np.int64)
+    inst_sorted = np.empty(nnz, dtype=np.int64)
+    inst_rb_parts: List[np.ndarray] = []
+    inst_w_parts: List[np.ndarray] = []
+    ptr = blk_start.copy()
+    n_inst = 0
+    while True:
+        act = np.flatnonzero(ptr < blk_end)
+        if len(act) == 0:
+            break
+        p0 = ptr[act]
+        c0 = cb[p0]
+        w = c0 >> 7
+        width = np.where((w & 127) == 127, 128, 256)
+        bound = (w << 7) + width
+        new_ptr = np.searchsorted(key_sorted, bb[p0] * KB + bound)
+        lens = new_ptr - p0
+        total = int(lens.sum())
+        pos = np.repeat(p0, lens) + (
+            np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        w_sorted[pos] = np.repeat(w, lens)
+        inst_sorted[pos] = n_inst + np.repeat(np.arange(len(act), dtype=np.int64), lens)
+        inst_rb_parts.append(bb[p0])
+        inst_w_parts.append(w)
+        n_inst += len(act)
+        ptr[act] = new_ptr
+    return (w_sorted, inst_sorted, np.concatenate(inst_rb_parts),
+            np.concatenate(inst_w_parts), n_inst)
+
+
+def _cluster_score(cb, bb, rows_bc) -> int:
+    """Padded-slot count (sum of per-instance max row counts) for a candidate
+    clustering — the delta-selection objective, evaluated on a block sample."""
+    _, inst, _, _, n_inst = _greedy_windows(cb, bb)
+    key = inst * (np.int64(rows_bc.max()) + 2) + rows_bc
+    ks = np.sort(key)
+    new = np.empty(len(ks), dtype=bool)
+    new[0] = True
+    np.not_equal(ks[1:], ks[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.concatenate([starts, [len(ks)]]))
+    inst_of_run = ks[starts] // (np.int64(rows_bc.max()) + 2)
+    order = np.argsort(inst_of_run, kind="stable")
+    iu, ifirst = np.unique(inst_of_run[order], return_index=True)
+    return int(np.maximum.reduceat(cnt[order], ifirst).sum())
 
 
 def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
@@ -89,19 +170,66 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     tile_rb = ROUT // copies
     nout = max(1, -(-mrb // tile_rb))
     nchunks = max(1, -(-n // (CW * CHUNK_W)))
+    _no_tail = (np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, v.dtype))
     if nnz == 0:
-        return SwellPlan((), m, n, 0, nout, nchunks, 1.0, 0, copies, tile_rb)
+        return SwellPlan((), m, n, 0, nout, nchunks, *_no_tail, 1.0, 0, copies, tile_rb)
 
     nw = max(1, -(-n // CW))
     rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(rp))
     rb = rows >> 7
     lane = (rows & 127).astype(np.int64)
-    w = ci >> 7
-    lc = (ci & 127).astype(np.int8)
-    gid = rb * nw + w
 
-    # slot within (row, window): CSR is column-sorted per row -> consecutive runs
-    key_rw = rows * nw + w
+    # --- greedy unaligned window clustering per row-block ---------------------
+    # Sweep each block's sorted columns: a window instance opens at the first
+    # uncovered col c and claims all block nnz with col < 128*(c>>7) + 256 (width
+    # clamped to 128 when c's aligned slot is the last of its 16384-col chunk, so
+    # the B table row never crosses a chunk edge).  Rounds are vectorized across
+    # blocks; total work O(nnz + rounds * active_blocks * log nnz).
+    order_bc = np.lexsort((ci, rb))
+    cb = ci[order_bc]
+    bb = rb[order_bc]
+    blk_new = np.empty(nnz, dtype=bool)
+    blk_new[0] = True
+    np.not_equal(bb[1:], bb[:-1], out=blk_new[1:])
+    blk_start = np.flatnonzero(blk_new)
+    blk_end = np.concatenate([blk_start[1:], [nnz]])
+
+    # column phase shift: aligning the dominant block phase (mode of each block's
+    # first column mod 128) to a window start lets diagonal structure span two
+    # aligned windows instead of three.  The mode is only a candidate — both it
+    # and 0 are scored on a block sample (padded slots = 128 * sum of per-instance
+    # max counts) and the cheaper one wins, so the shift never hurts.
+    rows_bc = rows[order_bc]
+    phases = (cb[blk_start] & 127).astype(np.int64)
+    cand = {0, int((128 - np.bincount(phases, minlength=128).argmax()) & 127)}
+    delta = 0
+    if len(cand) > 1:
+        nblocks = len(blk_start)
+        stride = max(1, nblocks // 384)
+        sb = np.arange(0, nblocks, stride)
+        lens_s = blk_end[sb] - blk_start[sb]
+        idx_s = np.repeat(blk_start[sb], lens_s) + (
+            np.arange(int(lens_s.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(lens_s) - lens_s, lens_s)
+        )
+        best = None
+        for d in sorted(cand):
+            sc = _cluster_score(cb[idx_s] + d, bb[idx_s], rows_bc[idx_s])
+            if best is None or sc < best[0]:
+                best = (sc, d)
+        delta = best[1]
+    cb = cb + delta
+    nchunks = max(nchunks, -(-(n + delta) // (CW * CHUNK_W)))
+    w_sorted, inst_sorted, inst_rb, inst_w, n_inst = _greedy_windows(cb, bb)
+    w_of = np.empty(nnz, dtype=np.int64)
+    w_of[order_bc] = w_sorted
+    inst_of = np.empty(nnz, dtype=np.int64)
+    inst_of[order_bc] = inst_sorted
+    lc = (ci + delta - (w_of << 7)).astype(np.uint8)  # in-window index, [0, 256)
+
+    # slot within (row, instance): instances partition each row's sorted columns
+    # into disjoint ascending ranges -> consecutive CSR runs
+    key_rw = rows * np.int64(n_inst + 1) + inst_of
     new_rw = np.empty(nnz, dtype=bool)
     new_rw[0] = True
     np.not_equal(key_rw[1:], key_rw[:-1], out=new_rw[1:])
@@ -109,20 +237,54 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     rw_id = np.cumsum(new_rw) - 1
     slot_rw = np.arange(nnz, dtype=np.int64) - rw_start[rw_id]
 
-    # per-group max count
-    rw_gid = gid[rw_start]
-    rw_sizes = np.diff(np.concatenate([rw_start, [nnz]]))
+    # split instances at slot 128 so every layer depth stays <= 128 (a window can
+    # hold up to 256 nnz of one row); final group id carries the half bit
+    half = slot_rw >> 7
+    gid = inst_of * 2 + half
+    s = slot_rw & 127
+
+    # per-group max count (group runs = sub-runs of (row, instance) runs)
+    key_rw2 = key_rw * 2 + half
+    new2 = np.empty(nnz, dtype=bool)
+    new2[0] = True
+    np.not_equal(key_rw2[1:], key_rw2[:-1], out=new2[1:])
+    rw_start2 = np.flatnonzero(new2)
+    rw_gid = gid[rw_start2]
+    rw_sizes = np.diff(np.concatenate([rw_start2, [nnz]]))
     order_g = np.argsort(rw_gid, kind="stable")
     g_sorted = rw_gid[order_g]
     c_sorted = rw_sizes[order_g]
     gid_uniq, g_first = np.unique(g_sorted, return_index=True)
     maxc = np.maximum.reduceat(c_sorted, g_first)  # per unique gid, <= 128
 
-    # per-nnz layer bit k: largest set bit k of maxc with (maxc >> k << k) > slot
+    # --- spill low-fill instances to the COO tail ------------------------------
+    # A slab always spans 128 lanes; instances with few active lanes (window-edge
+    # orphans, scattered nnz) waste >= 8x their nnz in padding.  A COO tail
+    # (XLA gather + segment_sum) was tried and measured at ~140ns/element on TPU —
+    # XLA's sparse random access is element-serialized, 10x slower than eating the
+    # padding — so spilling is DISABLED (threshold 0) until a Pallas-native tail
+    # exists; orphan elimination comes from the unaligned windows instead.
+    g_cnt = np.add.reduceat(c_sorted, g_first)
+    g_spill = g_cnt < 0  # disabled (see above)
     g_of_nnz = np.searchsorted(gid_uniq, gid)
-    M = maxc[g_of_nnz]
-    s = slot_rw
-    layer_k = np.full(nnz, -1, dtype=np.int8)
+    spill = g_spill[g_of_nnz]
+    tail_rows = rows[spill].astype(np.int32)
+    tail_ci = ci[spill].astype(np.int32)
+    tail_v = v[spill]
+    keep = np.flatnonzero(~spill)
+    gid = gid[keep]
+    s = s[keep]
+    lane = lane[keep]
+    lc = lc[keep]
+    vk = v[keep]
+    M = maxc[g_of_nnz[keep]]
+    nkept = len(keep)
+    if nkept == 0:
+        return SwellPlan((), m, n, nnz, nout, nchunks, tail_rows, tail_ci, tail_v,
+                         1.0, 0, copies, tile_rb)
+
+    # per-nnz layer bit k: largest set bit k of maxc with (maxc >> k << k) > slot
+    layer_k = np.full(nkept, -1, dtype=np.int8)
     for k in range(7, -1, -1):
         pref = (M >> (k + 1)) << (k + 1)  # sum of bits above k
         hit = (layer_k < 0) & (((M >> k) & 1) == 1) & (s >= pref) & (s < pref + (1 << k))
@@ -135,17 +297,17 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     slab_uniq, slab_of_nnz = np.unique(skey, return_inverse=True)
     slab_gid = slab_uniq // 8
     slab_k = (slab_uniq % 8).astype(np.int64)
-    slab_rb = slab_gid // nw
-    slab_w = slab_gid % nw
+    slab_rb = inst_rb[slab_gid >> 1]
+    slab_w = inst_w[slab_gid >> 1]                    # window base (aligned row A)
     slab_out = (slab_rb // tile_rb).astype(np.int64)  # out window id
     slab_chunk = (slab_w >> 7).astype(np.int64)       # x chunk id
     nslabs = len(slab_uniq)
 
     # occurrence index j of each slab within its (bucket k, out, chunk, rb) group;
-    # copy = j % copies (its output-row copy), round = j // copies (its step round) —
-    # so slabs targeting the same output row land in different steps
+    # copy = j % copies (its output-row copy) — slabs targeting the same OUTPUT ROW
+    # (rb, copy) must land in different steps so the one-hot scatter stays exact
     pack_key = ((slab_k * nout + slab_out) * nchunks + slab_chunk)
-    rb_key = pack_key * (nw + 1) + slab_rb  # unique per (bucket,out,chunk,rb)
+    rb_key = pack_key * np.int64(mrb + 1) + slab_rb  # unique per (bucket,out,chunk,rb)
     order_r = np.argsort(rb_key, kind="stable")
     rk = rb_key[order_r]
     run_new = np.empty(nslabs, dtype=bool)
@@ -157,23 +319,51 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     slab_occ = np.empty(nslabs, dtype=np.int64)
     slab_occ[order_r] = occ_sorted
     slab_copy = slab_occ % copies
-    slab_round = slab_occ // copies
 
-    # q-group = (bucket k, out, chunk, round); within q, pack P slabs per step
+    # q-group = (bucket k, out, chunk); within q, SEQUENTIALLY cut P slabs per step
+    # (occ-major order), then evict output-row conflicts / overflow to later steps.
+    # This replaces round-quantized packing (one step run per occurrence round),
+    # whose per-round remainders left 15-60% of step positions empty on FEM-like
+    # structure.
     buckets_out: List[SwellBucket] = []
     padded_slots = 0
     total_steps = 0
     dtype = v.dtype
+    # narrow slabs (every in-window index < 128) never touch the B table row —
+    # their kernel variant skips half the table matmuls and half the gathers.
+    # Splitting a depth class into narrow+wide buckets costs extra partial steps,
+    # so split ONLY when narrow slabs dominate; otherwise run everything wide.
+    slab_wide = np.bincount(
+        slab_of_nnz, weights=(lc >= 128).astype(np.float64), minlength=nslabs
+    ) > 0
+    # slab_bucket_wide: the variant each slab is ASSIGNED to — its own wideness
+    # when the class splits, the class-wide flag otherwise
+    slab_bucket_wide = np.empty(nslabs, dtype=bool)
     for k in range(8):
-        sel = np.flatnonzero(slab_k == k)
+        in_k = slab_k == k
+        n_k = int(in_k.sum())
+        if n_k == 0:
+            continue
+        narrow_share = 1.0 - float(slab_wide[in_k].sum()) / n_k
+        if narrow_share >= 0.7:
+            slab_bucket_wide[in_k] = slab_wide[in_k]
+        else:
+            slab_bucket_wide[in_k] = bool(slab_wide[in_k].any())
+    nnz_bwide = slab_bucket_wide[slab_of_nnz]
+    for k in range(8):
+      for wide in (False, True):
+        sel = np.flatnonzero((slab_k == k) & (slab_bucket_wide == wide))
         if len(sel) == 0:
             continue
         D = 1 << k
         P = 128 // D
-        q_key = (slab_out[sel] * nchunks + slab_chunk[sel]) * (nslabs + 1) + slab_round[sel]
-        order_q = np.argsort(q_key, kind="stable")
+        occ = slab_occ[sel]
+        ck = slab_rb[sel] * copies + (occ % copies)  # step-conflict key (output row)
+        q_key = slab_out[sel] * nchunks + slab_chunk[sel]
+        order_q = np.lexsort((ck, occ, q_key))
         sq = sel[order_q]
         qk = q_key[order_q]
+        ckq = ck[order_q]
         nb = len(sq)
         qnew = np.empty(nb, dtype=bool)
         qnew[0] = True
@@ -181,12 +371,39 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
         q_start = np.flatnonzero(qnew)
         q_id = np.cumsum(qnew) - 1
         idx_in_q = np.arange(nb, dtype=np.int64) - q_start[q_id]
-        q_len = np.diff(np.concatenate([q_start, [nb]]))
-        q_steps = -(-q_len // P)
-        q_step_off = np.concatenate([[0], np.cumsum(q_steps)[:-1]])
-        step_of = q_step_off[q_id] + idx_in_q // P
-        pos_of = idx_in_q % P
-        nsteps = int(q_steps.sum())
+        step_in_q = idx_in_q // P
+        BIG = np.int64(nb + 2)
+        max_rounds = int(occ.max()) + 2 if nb else 2
+        for _ in range(max_rounds + 130):
+            k2 = q_id * BIG + step_in_q
+            o2 = np.lexsort((ckq, k2))
+            k2s = k2[o2]
+            cks = ckq[o2]
+            grp_new = np.ones(nb, dtype=bool)
+            np.not_equal(k2s[1:], k2s[:-1], out=grp_new[1:])
+            dup = np.zeros(nb, dtype=bool)
+            dup[1:] = (~grp_new[1:]) & (cks[1:] == cks[:-1])
+            seq = np.arange(nb, dtype=np.int64)
+            rank = seq - np.maximum.accumulate(np.where(grp_new, seq, 0))
+            bad = dup | (rank >= P)
+            if not bad.any():
+                break
+            step_in_q[o2[bad]] += 1
+        else:  # pragma: no cover — cascade failed to settle; should be unreachable
+            raise RuntimeError("swell step packing did not converge")
+        # compact step ids (eviction can leave empty steps) and make them global
+        k2 = q_id * BIG + step_in_q
+        uniq_steps, step_dense = np.unique(k2, return_inverse=True)
+        step_of = step_dense  # dense AND globally ordered by (q, step) ✓
+        o3 = np.argsort(k2, kind="stable")
+        r3 = np.empty(nb, dtype=np.int64)
+        seq = np.arange(nb, dtype=np.int64)
+        k3 = k2[o3]
+        g3 = np.ones(nb, dtype=bool)
+        np.not_equal(k3[1:], k3[:-1], out=g3[1:])
+        r3[o3] = seq - np.maximum.accumulate(np.where(g3, seq, 0))
+        pos_of = r3
+        nsteps = len(uniq_steps)
 
         # per-slab (in bucket-sorted order sq) step/pos
         slab_step = np.empty(nslabs, dtype=np.int64)
@@ -208,22 +425,27 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
             (slab_rb[sq] % tile_rb) * copies + slab_copy[sq]
         ).astype(np.int32)
 
-        # one-hot per slab POSITION (the kernel builds a (P,128) table and
-        # tile-expands it over sublanes; storing per-position rows instead of
-        # per-sublane rows shrinks the array D-fold).  int8 min sublane tile = 32.
-        ohp = max(P, 32)
-        onehot = np.zeros((nsteps, ohp, 128), dtype=np.int8)
+        # dual one-hot per slab POSITION: rows [0,P) select the window's aligned
+        # table row A (= slab_w); for wide buckets rows [BOFF, BOFF+P) select row
+        # B (= slab_w + 1).  The kernel builds a table stack in one matmul and
+        # tile-expands the halves over sublanes.
+        boff = max(P, 8)
+        ohl = 2 * boff if wide else max(4, -(-P // 4) * 4)
+        onehot = np.zeros((nsteps, ohl, 128), dtype=np.int8)
         w_local = (slab_w[sq] & (CHUNK_W - 1)).astype(np.int64)
         onehot[step_of, pos_of, w_local] = 1
+        if wide:
+            has_b = w_local <= CHUNK_W - 2
+            onehot[step_of[has_b], boff + pos_of[has_b], w_local[has_b] + 1] = 1
 
-        # scatter nnz of this bucket
-        esel = np.flatnonzero(layer_k == k)
+        # scatter nnz of this bucket (+variant)
+        esel = np.flatnonzero((layer_k == k) & (nnz_bwide == wide))
         e_slab = slab_of_nnz[esel]
         e_sub = slot_in_slab[esel] * P + slab_pos[e_slab]
         e_step = slab_step[e_slab]
         vals = np.zeros((nsteps, 128, 128), dtype=dtype)
-        lidx = np.zeros((nsteps, 128, 128), dtype=np.int8)
-        vals[e_step, e_sub, lane[esel]] = v[esel]
+        lidx = np.zeros((nsteps, 128, 128), dtype=np.uint8)
+        vals[e_step, e_sub, lane[esel]] = vk[esel]
         lidx[e_step, e_sub, lane[esel]] = lc[esel]
 
         touched = np.zeros(nout, dtype=bool)
@@ -231,9 +453,9 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
 
         buckets_out.append(
             SwellBucket(
-                depth=D, nsteps=nsteps, values=vals, lidx=lidx, onehot=onehot,
-                rbvec=rbvec, chunksel=chunksel, outsel=outsel, first=first,
-                touched=touched, nnz=len(esel),
+                depth=D, wide=wide, nsteps=nsteps, values=vals, lidx=lidx,
+                onehot=onehot, rbvec=rbvec, chunksel=chunksel, outsel=outsel,
+                first=first, touched=touched, nnz=len(esel),
             )
         )
         padded_slots += nsteps * 128 * 128
@@ -242,7 +464,8 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     return SwellPlan(
         buckets=tuple(buckets_out),
         rows=m, cols=n, nnz=nnz, nout=nout, nchunks=nchunks,
-        fill_efficiency=nnz / max(padded_slots, 1),
+        tail_rows=tail_rows, tail_ci=tail_ci, tail_v=tail_v,
+        fill_efficiency=nkept / max(padded_slots, 1), delta=delta,
         total_steps=total_steps,
         copies=copies, tile_rb=tile_rb,
     )

