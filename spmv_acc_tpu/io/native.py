@@ -17,7 +17,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["get_lib", "parse_doubles", "coo_to_csr_native", "tile_analyze_native", "available"]
+__all__ = ["get_lib", "parse_doubles", "coo_to_csr_native", "tile_analyze_native", "swell_analyze_native", "available"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libspmv_native.so")
@@ -48,8 +48,14 @@ def get_lib():
         try:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.spmv_native_abi_version.restype = ctypes.c_int32
-            if lib.spmv_native_abi_version() != 1:
-                return None
+            if lib.spmv_native_abi_version() != 2:
+                # stale build: rebuild once and reload
+                if not _build():
+                    return None
+                lib = ctypes.CDLL(_LIB_PATH)
+                lib.spmv_native_abi_version.restype = ctypes.c_int32
+                if lib.spmv_native_abi_version() != 2:
+                    return None
             lib.parse_doubles.restype = ctypes.c_int64
             lib.parse_doubles.argtypes = [
                 ctypes.c_char_p,
@@ -60,6 +66,7 @@ def get_lib():
             ]
             lib.coo_to_csr.restype = ctypes.c_int32
             lib.tile_analyze.restype = ctypes.c_int64
+            lib.swell_analyze.restype = ctypes.c_int64
             _lib = lib
         except OSError:
             _lib = None
@@ -139,3 +146,49 @@ def tile_analyze_native(row_ptr, col_idx, m, nct):
         block_depth.ctypes.data_as(ctypes.c_void_p),
     )
     return elem_block, elem_slot, block_keys[:nb], block_depth[:nb]
+
+
+def swell_analyze_native(row_ptr, col_idx, m, delta):
+    """Native swell analyze pass (OpenMP over row-blocks).
+
+    Returns (slab_of_nnz i32, lidx u8, slot_in_slab u8, layer_k i8,
+             slab_rb i32, slab_w i32, slab_k i8, slab_wide bool) or None.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    rp = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    ci = np.ascontiguousarray(col_idx, dtype=np.int32)
+    nnz = int(rp[-1])
+    if nnz == 0 or nnz >= 2**31:
+        return None
+    slab_of_nnz = np.empty(nnz, dtype=np.int32)
+    lidx = np.empty(nnz, dtype=np.uint8)
+    slot = np.empty(nnz, dtype=np.uint8)
+    layer_k = np.empty(nnz, dtype=np.int8)
+    cap = nnz
+    slab_rb = np.empty(cap, dtype=np.int32)
+    slab_w = np.empty(cap, dtype=np.int32)
+    slab_k = np.empty(cap, dtype=np.int8)
+    slab_wide = np.empty(cap, dtype=np.uint8)
+    ns = lib.swell_analyze(
+        rp.ctypes.data_as(ctypes.c_void_p),
+        ci.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(m),
+        ctypes.c_int32(delta),
+        slab_of_nnz.ctypes.data_as(ctypes.c_void_p),
+        lidx.ctypes.data_as(ctypes.c_void_p),
+        slot.ctypes.data_as(ctypes.c_void_p),
+        layer_k.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(cap),
+        slab_rb.ctypes.data_as(ctypes.c_void_p),
+        slab_w.ctypes.data_as(ctypes.c_void_p),
+        slab_k.ctypes.data_as(ctypes.c_void_p),
+        slab_wide.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int32(min(os.cpu_count() or 1, 16)),
+    )
+    if ns < 0:
+        return None
+    return (slab_of_nnz, lidx, slot, layer_k,
+            slab_rb[:ns].copy(), slab_w[:ns].copy(), slab_k[:ns].copy(),
+            slab_wide[:ns].astype(bool))

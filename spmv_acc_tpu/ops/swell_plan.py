@@ -38,6 +38,7 @@ x is reshaped to (nchunks, 128, 128); columns are unbounded (no VMEM-resident-x 
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -220,6 +221,38 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
         delta = best[1]
     cb = cb + delta
     nchunks = max(nchunks, -(-(n + delta) // (CW * CHUNK_W)))
+
+    # Native (C++/OpenMP) analyze covers everything from here to slab enumeration
+    # in one parallel pass over row-blocks (csr_adaptive_plus_analyze.cpp analog);
+    # the numpy pipeline below is the portable fallback and equivalence reference.
+    nat = None
+    if not os.environ.get("SPMV_TPU_NO_NATIVE"):
+        try:
+            from ..io.native import swell_analyze_native
+
+            nat = swell_analyze_native(rp, ci, m, delta)
+        except Exception:
+            nat = None
+    if nat is not None:
+        s32, lc, slot_u8, layer_k, srb, sw, sk8, slab_wide = nat
+        slab_of_nnz = s32.astype(np.int64)
+        slot_in_slab = slot_u8.astype(np.int64)
+        slab_rb = srb.astype(np.int64)
+        slab_w = sw.astype(np.int64)
+        slab_k = sk8.astype(np.int64)
+        nslabs = len(slab_rb)
+        vk = v
+        nkept = nnz
+        tail_rows, tail_ci, tail_v = _no_tail
+        slab_out = (slab_rb // tile_rb).astype(np.int64)
+        slab_chunk = (slab_w >> 7).astype(np.int64)
+        return _finish_swell_plan(
+            m, n, nnz, nout, nchunks, copies, tile_rb, delta, v.dtype,
+            slab_of_nnz, lc, slot_in_slab, layer_k, lane, vk,
+            slab_rb, slab_w, slab_k, slab_wide, slab_out, slab_chunk, nslabs,
+            tail_rows, tail_ci, tail_v, nkept, mrb,
+        )
+
     w_sorted, inst_sorted, inst_rb, inst_w, n_inst = _greedy_windows(cb, bb)
     w_of = np.empty(nnz, dtype=np.int64)
     w_of[order_bc] = w_sorted
@@ -303,6 +336,22 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     slab_chunk = (slab_w >> 7).astype(np.int64)       # x chunk id
     nslabs = len(slab_uniq)
 
+    slab_wide = np.bincount(
+        slab_of_nnz, weights=(lc >= 128).astype(np.float64), minlength=nslabs
+    ) > 0
+    return _finish_swell_plan(
+        m, n, nnz, nout, nchunks, copies, tile_rb, delta, v.dtype,
+        slab_of_nnz, lc, slot_in_slab, layer_k, lane, vk,
+        slab_rb, slab_w, slab_k, slab_wide, slab_out, slab_chunk, nslabs,
+        tail_rows, tail_ci, tail_v, nkept, mrb,
+    )
+
+
+def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
+                       slab_of_nnz, lc, slot_in_slab, layer_k, lane, vk,
+                       slab_rb, slab_w, slab_k, slab_wide, slab_out, slab_chunk,
+                       nslabs, tail_rows, tail_ci, tail_v, nkept, mrb):
+    """Shared back half of the plan build: occurrence, step packing, buckets."""
     # occurrence index j of each slab within its (bucket k, out, chunk, rb) group;
     # copy = j % copies (its output-row copy) — slabs targeting the same OUTPUT ROW
     # (rb, copy) must land in different steps so the one-hot scatter stays exact
@@ -328,14 +377,10 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     buckets_out: List[SwellBucket] = []
     padded_slots = 0
     total_steps = 0
-    dtype = v.dtype
     # narrow slabs (every in-window index < 128) never touch the B table row —
     # their kernel variant skips half the table matmuls and half the gathers.
     # Splitting a depth class into narrow+wide buckets costs extra partial steps,
     # so split ONLY when narrow slabs dominate; otherwise run everything wide.
-    slab_wide = np.bincount(
-        slab_of_nnz, weights=(lc >= 128).astype(np.float64), minlength=nslabs
-    ) > 0
     # slab_bucket_wide: the variant each slab is ASSIGNED to — its own wideness
     # when the class splits, the class-wide flag otherwise
     slab_bucket_wide = np.empty(nslabs, dtype=bool)

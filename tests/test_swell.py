@@ -113,3 +113,57 @@ def test_swell_fill_reporting():
     # banded fill near ~0.45 — lifting that (shifted/overlapping windows) is a
     # known follow-up.  Gate at the current level so regressions are caught.
     assert dp.plan.fill_efficiency > 0.40, dp.plan.fill_efficiency
+
+
+def test_native_analyze_matches_numpy():
+    """The C++ analyze pass and the numpy fallback must agree nnz-by-nnz on the
+    canonical decomposition (slab identity tuple, slot, in-window index)."""
+    import os
+    from spmv_acc_tpu.io.native import swell_analyze_native
+
+    for make in (lambda: banded_csr(5000, bandwidth=7, seed=9),
+                 lambda: powerlaw_csr(900, 900, avg_nnz=9, seed=10),
+                 lambda: random_csr(700, 9000, 21000, seed=11)):
+        csr = make()
+        rp, ci, v, shape = csr.to_numpy()
+        plan_np = None
+        os.environ["SPMV_TPU_NO_NATIVE"] = "1"
+        try:
+            plan_np = build_swell_plan(rp, ci, v, shape)
+        finally:
+            del os.environ["SPMV_TPU_NO_NATIVE"]
+        nat = swell_analyze_native(rp, ci, shape[0], plan_np.delta)
+        if nat is None:
+            pytest.skip("native library unavailable")
+        s32, lc, slot, layer_k, srb, sw, sk, swide = nat
+        # canonical per-nnz key: (slab rb, slab window, k, slot, lidx) packed
+        def pack(rb, w, k, sl, lx):
+            return (((rb.astype(np.int64) * (2**32) + w) * 8 + k) * 256 + sl) * 256 + lx
+
+        nat_key = np.sort(pack(srb[s32].astype(np.int64), sw[s32].astype(np.int64),
+                                sk[s32].astype(np.int64), slot.astype(np.int64),
+                                lc.astype(np.int64)))
+        # the numpy plan's slab rb/w aren't kept on buckets; compare the invariant
+        # parts (k, slot-within-slab = sub//P, lidx) as sorted multisets
+        def pack2(k, sl, lx):
+            return (k * 256 + sl) * 256 + lx
+
+        got = []
+        for bk in plan_np.buckets:
+            P = 128 // bk.depth
+            st, sub, lanes = np.nonzero(bk.values != 0.0)
+            got.append(pack2(np.full(len(st), int(np.log2(bk.depth)), np.int64),
+                             (sub // P).astype(np.int64),
+                             bk.lidx[st, sub, lanes].astype(np.int64)))
+        np_key = np.sort(np.concatenate(got))
+        nat_key2 = np.sort(pack2(sk[s32].astype(np.int64), slot.astype(np.int64),
+                                 lc.astype(np.int64)))
+        nz = int((v != 0).sum())
+        assert len(np_key) == nz and len(nat_key2) == csr.nnz
+        # drop explicit-zero values from the native side for comparison
+        if nz != csr.nnz:
+            keep = v != 0
+            nat_key2 = np.sort(pack2(sk[s32[keep]].astype(np.int64),
+                                     slot[keep].astype(np.int64),
+                                     lc[keep].astype(np.int64)))
+        assert (nat_key2 == np_key).all()
