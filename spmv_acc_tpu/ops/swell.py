@@ -240,7 +240,10 @@ def _make_f64_kernel(log2d: int, wide: bool):
         ah, al = _split(vh)
         bh, bl = _split(gh)
         e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-        e = e + (vh * gl + vl * gh)
+        # all three cross terms: vl*gl is ~2^-48|p| — the same order as the
+        # representation floor, and heavy-cancellation rows (|y| ~ 1e-6|p|) sit
+        # within ~2x of the rel-1e-7 gate at 10^7 rows, so every bit counts
+        e = e + (vh * gl + (vl * gh + vl * gl))
         # compensated contiguous-half fold: log2(D) levels.  Knuth 2Sum (ordering-free;
         # Fast2Sum needs |a|>=|b| which does not hold for arbitrary partial sums).
         for _ in range(log2d):

@@ -351,38 +351,19 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
                        slab_of_nnz, lc, slot_in_slab, layer_k, lane, vk,
                        slab_rb, slab_w, slab_k, slab_wide, slab_out, slab_chunk,
                        nslabs, tail_rows, tail_ci, tail_v, nkept, mrb):
-    """Shared back half of the plan build: occurrence, step packing, buckets."""
-    # occurrence index j of each slab within its (bucket k, out, chunk, rb) group;
-    # copy = j % copies (its output-row copy) — slabs targeting the same OUTPUT ROW
-    # (rb, copy) must land in different steps so the one-hot scatter stays exact
-    pack_key = ((slab_k * nout + slab_out) * nchunks + slab_chunk)
-    rb_key = pack_key * np.int64(mrb + 1) + slab_rb  # unique per (bucket,out,chunk,rb)
-    order_r = np.argsort(rb_key, kind="stable")
-    rk = rb_key[order_r]
-    run_new = np.empty(nslabs, dtype=bool)
-    run_new[0] = True
-    np.not_equal(rk[1:], rk[:-1], out=run_new[1:])
-    run_start = np.flatnonzero(run_new)
-    run_id = np.cumsum(run_new) - 1
-    occ_sorted = np.arange(nslabs, dtype=np.int64) - run_start[run_id]
-    slab_occ = np.empty(nslabs, dtype=np.int64)
-    slab_occ[order_r] = occ_sorted
-    slab_copy = slab_occ % copies
+    """Shared back half of the plan build: step packing (over candidate `copies`
+    values) and bucket materialization.
 
-    # q-group = (bucket k, out, chunk); within q, SEQUENTIALLY cut P slabs per step
-    # (occ-major order), then evict output-row conflicts / overflow to later steps.
-    # This replaces round-quantized packing (one step run per occurrence round),
-    # whose per-round remainders left 15-60% of step positions empty on FEM-like
-    # structure.
-    buckets_out: List[SwellBucket] = []
-    padded_slots = 0
-    total_steps = 0
+    `copies` gives each row-block several rows in the output tile, so slabs of the
+    same row-block can share a step — trading conflict-forced partial steps for a
+    smaller out tile (more out windows, more output traffic).  The tradeoff is
+    matrix-dependent, so candidates are PACKED (cheap, slab-level) and scored by
+    total steps + output-window cost; only the winner is materialized.
+    """
     # narrow slabs (every in-window index < 128) never touch the B table row —
     # their kernel variant skips half the table matmuls and half the gathers.
     # Splitting a depth class into narrow+wide buckets costs extra partial steps,
     # so split ONLY when narrow slabs dominate; otherwise run everything wide.
-    # slab_bucket_wide: the variant each slab is ASSIGNED to — its own wideness
-    # when the class splits, the class-wide flag otherwise
     slab_bucket_wide = np.empty(nslabs, dtype=bool)
     for k in range(8):
         in_k = slab_k == k
@@ -395,16 +376,35 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         else:
             slab_bucket_wide[in_k] = bool(slab_wide[in_k].any())
     nnz_bwide = slab_bucket_wide[slab_of_nnz]
-    for k in range(8):
-      for wide in (False, True):
-        sel = np.flatnonzero((slab_k == k) & (slab_bucket_wide == wide))
-        if len(sel) == 0:
-            continue
-        D = 1 << k
-        P = 128 // D
-        occ = slab_occ[sel]
-        ck = slab_rb[sel] * copies + (occ % copies)  # step-conflict key (output row)
-        q_key = slab_out[sel] * nchunks + slab_chunk[sel]
+
+    def occ_for(tile_rb_c, nout_c):
+        # occurrence index j of each slab within its (bucket k, out, chunk, rb)
+        # group; copy = j % copies (its output-row copy) — slabs targeting the
+        # same OUTPUT ROW (rb, copy) must land in different steps so the one-hot
+        # scatter stays exact
+        out_c = (slab_rb // tile_rb_c).astype(np.int64)
+        pack_key = (slab_k * nout_c + out_c) * nchunks + slab_chunk
+        rb_key = pack_key * np.int64(mrb + 1) + slab_rb
+        order_r = np.argsort(rb_key, kind="stable")
+        rk = rb_key[order_r]
+        run_new = np.empty(nslabs, dtype=bool)
+        run_new[0] = True
+        np.not_equal(rk[1:], rk[:-1], out=run_new[1:])
+        run_start = np.flatnonzero(run_new)
+        run_id = np.cumsum(run_new) - 1
+        occ_sorted = np.arange(nslabs, dtype=np.int64) - run_start[run_id]
+        occ_c = np.empty(nslabs, dtype=np.int64)
+        occ_c[order_r] = occ_sorted
+        return occ_c, out_c
+
+    def pack_variant(sel, P, occ_all, out_c, copies_c):
+        # q-group = (bucket k, out, chunk); within q, SEQUENTIALLY cut P slabs per
+        # step (occ-major order), then evict output-row conflicts / overflow to
+        # later steps.  This replaces round-quantized packing, whose per-round
+        # remainders left 15-60% of step positions empty on FEM-like structure.
+        occ = occ_all[sel]
+        ck = slab_rb[sel] * copies_c + (occ % copies_c)  # step-conflict key
+        q_key = out_c[sel] * nchunks + slab_chunk[sel]
         order_q = np.lexsort((ck, occ, q_key))
         sq = sel[order_q]
         qk = q_key[order_q]
@@ -413,12 +413,13 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         qnew = np.empty(nb, dtype=bool)
         qnew[0] = True
         np.not_equal(qk[1:], qk[:-1], out=qnew[1:])
-        q_start = np.flatnonzero(qnew)
         q_id = np.cumsum(qnew) - 1
+        q_start = np.flatnonzero(qnew)
         idx_in_q = np.arange(nb, dtype=np.int64) - q_start[q_id]
         step_in_q = idx_in_q // P
         BIG = np.int64(nb + 2)
         max_rounds = int(occ.max()) + 2 if nb else 2
+        seq = np.arange(nb, dtype=np.int64)
         for _ in range(max_rounds + 130):
             k2 = q_id * BIG + step_in_q
             o2 = np.lexsort((ckq, k2))
@@ -428,7 +429,6 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
             np.not_equal(k2s[1:], k2s[:-1], out=grp_new[1:])
             dup = np.zeros(nb, dtype=bool)
             dup[1:] = (~grp_new[1:]) & (cks[1:] == cks[:-1])
-            seq = np.arange(nb, dtype=np.int64)
             rank = seq - np.maximum.accumulate(np.where(grp_new, seq, 0))
             bad = dup | (rank >= P)
             if not bad.any():
@@ -439,17 +439,44 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         # compact step ids (eviction can leave empty steps) and make them global
         k2 = q_id * BIG + step_in_q
         uniq_steps, step_dense = np.unique(k2, return_inverse=True)
-        step_of = step_dense  # dense AND globally ordered by (q, step) ✓
+        step_of = step_dense  # dense AND globally ordered by (q, step)
         o3 = np.argsort(k2, kind="stable")
         r3 = np.empty(nb, dtype=np.int64)
-        seq = np.arange(nb, dtype=np.int64)
         k3 = k2[o3]
         g3 = np.ones(nb, dtype=bool)
         np.not_equal(k3[1:], k3[:-1], out=g3[1:])
         r3[o3] = seq - np.maximum.accumulate(np.where(g3, seq, 0))
-        pos_of = r3
-        nsteps = len(uniq_steps)
+        return sq, step_of, r3, len(uniq_steps)
 
+    variants = [(k, wide) for k in range(8) for wide in (False, True)
+                if ((slab_k == k) & (slab_bucket_wide == wide)).any()]
+    cands = sorted({copies} | ({copies * 2} if copies * 2 <= 8 else set()))
+    best = None
+    for c in cands:
+        trb = ROUT // c
+        nout_c = max(1, -(-mrb // trb))
+        occ_c, out_c = occ_for(trb, nout_c)
+        packs = []
+        steps = 0
+        for k, wide in variants:
+            sel = np.flatnonzero((slab_k == k) & (slab_bucket_wide == wide))
+            pk = pack_variant(sel, 128 >> k, occ_c, out_c, c)
+            packs.append((k, wide, pk))
+            steps += pk[3]
+        # output tiles cost ~0.8 step-equivalents each (2*ROUT*128*4B writes vs
+        # ~164KB slab reads per step)
+        score = steps + 0.8 * nout_c
+        if best is None or score < best[0]:
+            best = (score, c, trb, nout_c, occ_c, out_c, packs)
+    _, copies, tile_rb, nout, slab_occ, slab_out, packs = best
+    slab_copy = slab_occ % copies
+
+    buckets_out: List[SwellBucket] = []
+    padded_slots = 0
+    total_steps = 0
+    for k, wide, (sq, step_of, pos_of, nsteps) in packs:
+        D = 1 << k
+        P = 128 // D
         # per-slab (in bucket-sorted order sq) step/pos
         slab_step = np.empty(nslabs, dtype=np.int64)
         slab_pos = np.empty(nslabs, dtype=np.int64)
