@@ -49,6 +49,13 @@ def build_parser():
     p.add_argument("--dtype", default="float64", choices=["float64", "float32"])
     p.add_argument("--warmups", type=int, default=WARMUP_ITERS)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--device-verify",
+        action="store_true",
+        help="verify against the on-device XLA-native SpMV instead of the CPU "
+        "golden (analog of the reference's DEVICE_SIDE_VERIFY rocSPARSE check, "
+        "config.cmake:7-9 / cli/verification.cpp:81-113)",
+    )
     return p
 
 
@@ -91,7 +98,15 @@ def test_spmv(args) -> int:
     elapsed = timer.stop()
     print(f"{args.file} elapsed time: {elapsed:.1f}(us)  [strategy: {handle.strategy_used}]")
 
-    golden = host_spmv(args.alpha, args.beta, row_ptr, col_idx, values, x, y)
+    if args.device_verify:
+        # device-side golden: the XLA-native segment-sum strategy on the SAME
+        # device (the reference verifies against rocSPARSE's independent device
+        # path when DEVICE_SIDE_VERIFY is set)
+        golden = np.asarray(
+            spmv(csr, dx, dy, alpha=args.alpha, beta=args.beta, strategy="default")
+        )
+    else:
+        golden = host_spmv(args.alpha, args.beta, row_ptr, col_idx, values, x, y)
     ok = verify(hy, golden, dtype=dtype)
     return 0 if ok else 1
 
