@@ -107,12 +107,10 @@ def test_swell_fill_reporting():
     csr = banded_csr(300000, bandwidth=5, seed=81)
     dp = get_swell_plan(csr, np.float64)
     assert 0.0 < dp.plan.fill_efficiency <= 1.0
-    # Binary-decomposition layers put a bw-5 band at depth 4+1 with ~full lanes in
-    # the main (rb, w) slabs.  Current cost: each row-block also spawns two tiny
-    # window-boundary slabs (rows crossing the 128-col window edge), which caps
-    # banded fill near ~0.45 — lifting that (shifted/overlapping windows) is a
-    # known follow-up.  Gate at the current level so regressions are caught.
-    assert dp.plan.fill_efficiency > 0.40, dp.plan.fill_efficiency
+    # Unaligned dual-window instances + the scored column phase shift put a banded
+    # matrix at fill ~0.77 (the residue: window-edge boundary lanes and packing
+    # partials).  Gate below the current level so regressions are caught.
+    assert dp.plan.fill_efficiency > 0.70, dp.plan.fill_efficiency
 
 
 def test_native_analyze_matches_numpy():
