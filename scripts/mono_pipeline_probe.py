@@ -12,6 +12,7 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.setrecursionlimit(100000)
 import jax
 
 jax.config.update("jax_enable_x64", True)
@@ -79,15 +80,18 @@ def make_mono(nsteps):
 
     def kernel(csel_r, osel_r, first_r, packed_hbm, chunks_hbm, out_hbm,
                pbuf, cbuf, obuf, tbuf, psem, csem, osem):
+        def i32(v):
+            return jnp.asarray(v, jnp.int32)
+
         def pdma(slot, i):
             return pltpu.make_async_copy(
-                packed_hbm.at[i], pbuf.at[slot], psem.at[slot])
+                packed_hbm.at[i32(i)], pbuf.at[i32(slot)], psem.at[i32(slot)])
 
         def cdma(c):
-            return pltpu.make_async_copy(chunks_hbm.at[c], cbuf, csem)
+            return pltpu.make_async_copy(chunks_hbm.at[i32(c)], cbuf, csem)
 
         def odma(ob, o):
-            return pltpu.make_async_copy(obuf.at[ob], out_hbm.at[o], osem)
+            return pltpu.make_async_copy(obuf.at[i32(ob)], out_hbm.at[i32(o)], osem)
 
         # prologue: packed 0 + chunk csel[0] + tables(0)
         pdma(0, 0).start()
@@ -106,8 +110,8 @@ def make_mono(nsteps):
 
         def body(i, carry):
             ob, oflushed = carry
-            slot = jax.lax.rem(i, 2)
-            nslot = 1 - slot
+            slot = jax.lax.rem(i, jnp.int32(2))
+            nslot = jnp.int32(1) - slot
 
             # --- stage A(i+1): tables for the NEXT step (MXU), overlapping B(i)
             @pl.when(i + 1 < nsteps)
@@ -166,7 +170,9 @@ def make_mono(nsteps):
             ofl2 = jnp.where(fl, jnp.int32(1), oflushed)
             return (ob2, ofl2)
 
-        ob, oflushed = jax.lax.fori_loop(0, nsteps, body, (jnp.int32(0), jnp.int32(0)))
+        ob, oflushed = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(nsteps), body, (jnp.int32(0), jnp.int32(0))
+        )
 
         @pl.when(oflushed == 1)
         def _():

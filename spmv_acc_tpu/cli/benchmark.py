@@ -37,6 +37,12 @@ ENGINES = [
     ("spmv-acc-flat", "flat"),
     ("spmv-acc-vector-row", "vector_row"),
     ("spmv-acc-adaptive-plus", "adaptive_plus"),
+    ("spmv-acc-swell", "swell"),
+    ("spmv-acc-thread-row", "thread_row"),
+    ("spmv-acc-wf-row", "wf_row"),
+    ("spmv-acc-block-row", "block_row"),
+    ("spmv-acc-light", "light"),
+    ("spmv-acc-line-enhance", "line_enhance"),
     ("numpy-cpu", None),
 ]
 

@@ -227,10 +227,20 @@ def make_spmv_fn(
         return hit
 
     import jax
+    import jax.numpy as jnp
 
     def step(x, y):
         return _run(chosen, alpha, beta, csr, x, y, plan)
 
+    # Populate every strategy-side cache EAGERLY before tracing: several
+    # strategies derive device-resident plan arrays (ELL indices, zoo layouts)
+    # with jnp ops on first use and memoize them — if that first use happens
+    # inside a jit trace, the caches capture tracers and the next trace dies
+    # with UnexpectedTracerError.
+    step(
+        jnp.zeros((csr.shape[1],), csr.values.dtype),
+        jnp.zeros((csr.shape[0],), csr.values.dtype),
+    )
     fn = jax.jit(step)
     _FN_CACHE[key] = (fn, chosen)
     return fn, chosen

@@ -96,3 +96,27 @@ def test_float32_path():
     out = spmv(csr, jnp.asarray(x), jnp.asarray(y), alpha=1.0, beta=1.0, strategy="line")
     rep = verify_y(np.asarray(out), golden, dtype=np.float32)
     assert rep.ok, rep
+
+
+def test_make_spmv_fn_retrace_safe():
+    """Strategy plan caches must hold real arrays, not tracers: wrapping the
+    jitted fn in ANOTHER jit re-traces it, which dies with
+    UnexpectedTracerError if a first-use cache captured traced intermediates
+    (regression: ell/zoo engines under the benchmark harness's chained timer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spmv_acc_tpu.dispatch import make_spmv_fn
+    from spmv_acc_tpu.formats.generate import banded_csr, random_x_y
+
+    csr = banded_csr(400, bandwidth=5, seed=13)
+    x, y = random_x_y(400, 400, seed=14)
+    for strategy in ("ell", "thread_row", "light", "adaptive_plus"):
+        fn, _ = make_spmv_fn(csr, strategy=strategy)
+
+        @jax.jit
+        def outer(xx, yy, fn=fn):
+            return fn(xx, yy) * 2.0
+
+        out = outer(jnp.asarray(x), jnp.asarray(y))
+        assert out.shape == (400,)
