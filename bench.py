@@ -89,14 +89,18 @@ def bench_matrix(name: str, log):
             np.asarray(jax.device_get(r.ravel()[:1]))
             return time.perf_counter() - t
 
-        once(1)
-        once(1 + iters)
         per_us = 0.0
         for _ in range(3):  # grow the loop until it dwarfs dispatch noise
-            lo = min(once(1) for _ in range(3))
-            hi = min(once(1 + iters) for _ in range(3))
-            per_us = max(hi - lo, 0.0) / iters * 1e6
-            if per_us > 0 and per_us * iters > 20e3:
+            # slope between two LARGE loop lengths — an n=1 baseline mixes
+            # fixed costs nonlinearly and once reported a 2.6x-too-fast kernel
+            n0 = 1 + iters // 4
+            n1 = 1 + iters
+            once(n0)
+            once(n1)
+            lo = min(once(n0) for _ in range(3))
+            hi = min(once(n1) for _ in range(3))
+            per_us = max(hi - lo, 0.0) / (n1 - n0) * 1e6
+            if per_us > 0 and per_us * (n1 - n0) > 20e3:
                 break
             iters = min(iters * 4, 65536)
     else:

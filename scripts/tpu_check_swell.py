@@ -46,11 +46,13 @@ for name, make in CASES.items():
         np.asarray(jax.device_get(r.ravel()[:1]))
         return _t.perf_counter() - t
 
-    iters = 64
-    once(1); once(1 + iters)
-    lo = min(once(1) for _ in range(3))
-    hi = min(once(1 + iters) for _ in range(3))
-    per_us = max(hi - lo, 0.0) / iters * 1e6
+    # slope between two LARGE loop lengths (an n=1 baseline mixes fixed costs
+    # nonlinearly; see PERF_NOTES.md)
+    n0, n1 = 65, 257
+    once(n0); once(n1)
+    lo = min(once(n0) for _ in range(3))
+    hi = min(once(n1) for _ in range(3))
+    per_us = max(hi - lo, 0.0) / (n1 - n0) * 1e6
     bmodel = 8 * (2 * m + csr.nnz) + 4 * (m + 1 + csr.nnz)
     gbs = bmodel / (per_us * 1e-6) / 1e9 if per_us > 0 else 0
     print(

@@ -85,15 +85,21 @@ def test_spmv(args) -> int:
     dy = jnp.asarray(y)
 
     handle = Handle()
+    # one fused program per run: the eager spmv() path pays one tunnel dispatch
+    # per bucket, which would dominate the timed run by ~10x
+    from ..dispatch import make_spmv_fn
+
+    fn, chosen = make_spmv_fn(
+        csr, alpha=args.alpha, beta=args.beta, strategy=args.strategy
+    )
+    handle.strategy_used = chosen
     # warmup (cli/main.cpp:99-103)
     for _ in range(args.warmups):
-        out = spmv(csr, dx, dy, alpha=args.alpha, beta=args.beta, strategy=args.strategy)
+        out = fn(dx, dy)
     np.asarray(out)  # force execution
 
     timer = WallTimer().start()
-    out = spmv(
-        csr, dx, dy, alpha=args.alpha, beta=args.beta, strategy=args.strategy, handle=handle
-    )
+    out = fn(dx, dy)
     hy = np.asarray(out)  # readback forces completion (device sync boundary)
     elapsed = timer.stop()
     print(f"{args.file} elapsed time: {elapsed:.1f}(us)  [strategy: {handle.strategy_used}]")

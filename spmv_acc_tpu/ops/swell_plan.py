@@ -434,8 +434,19 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
             if not bad.any():
                 break
             step_in_q[o2[bad]] += 1
-        else:  # pragma: no cover — cascade failed to settle; should be unreachable
-            raise RuntimeError("swell step packing did not converge")
+        else:  # pragma: no cover — cascade failed to settle (pathological layout);
+            # fall back to round-quantized packing (step run per occurrence round,
+            # P per step): conflict-free by construction, at the cost of partial
+            # steps.  The dense re-indexing below compacts the sparse step ids.
+            oq = occ[order_q]
+            kqo = q_id * np.int64(nb + 2) + oq
+            nqo = np.empty(nb, dtype=bool)
+            nqo[0] = True
+            np.not_equal(kqo[1:], kqo[:-1], out=nqo[1:])
+            qo_start = np.flatnonzero(nqo)
+            qo_id = np.cumsum(nqo) - 1
+            idx_in_qo = np.arange(nb, dtype=np.int64) - qo_start[qo_id]
+            step_in_q = oq * np.int64(nb + 1) + idx_in_qo // P
         # compact step ids (eviction can leave empty steps) and make them global
         k2 = q_id * BIG + step_in_q
         uniq_steps, step_dense = np.unique(k2, return_inverse=True)
