@@ -180,46 +180,47 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     rb = rows >> 7
     lane = (rows & 127).astype(np.int64)
 
-    # --- greedy unaligned window clustering per row-block ---------------------
-    # Sweep each block's sorted columns: a window instance opens at the first
-    # uncovered col c and claims all block nnz with col < 128*(c>>7) + 256 (width
-    # clamped to 128 when c's aligned slot is the last of its 16384-col chunk, so
-    # the B table row never crosses a chunk edge).  Rounds are vectorized across
-    # blocks; total work O(nnz + rounds * active_blocks * log nnz).
-    order_bc = np.lexsort((ci, rb))
-    cb = ci[order_bc]
-    bb = rb[order_bc]
-    blk_new = np.empty(nnz, dtype=bool)
-    blk_new[0] = True
-    np.not_equal(bb[1:], bb[:-1], out=blk_new[1:])
-    blk_start = np.flatnonzero(blk_new)
-    blk_end = np.concatenate([blk_start[1:], [nnz]])
+    # Block boundaries come straight from rp (rows are CSR-ordered, so rb is
+    # monotone) — no global sort needed until a path actually requires one.
+    rp_blocks = rp[np.minimum(np.arange(0, m + 128, 128), m)]
+    blk_start_all = rp_blocks[:-1]
+    blk_end_all = rp_blocks[1:]
+    nonempty = blk_start_all < blk_end_all
 
     # column phase shift: aligning the dominant block phase (mode of each block's
     # first column mod 128) to a window start lets diagonal structure span two
     # aligned windows instead of three.  The mode is only a candidate — both it
     # and 0 are scored on a block sample (padded slots = 128 * sum of per-instance
-    # max counts) and the cheaper one wins, so the shift never hurts.
-    rows_bc = rows[order_bc]
-    phases = (cb[blk_start] & 127).astype(np.int64)
+    # max counts) and the cheaper one wins, so the shift never hurts.  Only the
+    # SAMPLE is block-col-sorted (the full lexsort at 28M+ nnz costs seconds and
+    # the native analyze path never needs it).
+    ne_start = blk_start_all[nonempty]
+    ne_end = blk_end_all[nonempty]
+    first_cols = ci[ne_start]  # min col per nonempty block (rows col-sorted ≠ block
+    # col-sorted, but the first row's first col is a good phase proxy)
+    phases = (first_cols & 127).astype(np.int64)
     cand = {0, int((128 - np.bincount(phases, minlength=128).argmax()) & 127)}
     delta = 0
     if len(cand) > 1:
-        nblocks = len(blk_start)
+        nblocks = len(ne_start)
         stride = max(1, nblocks // 384)
         sb = np.arange(0, nblocks, stride)
-        lens_s = blk_end[sb] - blk_start[sb]
-        idx_s = np.repeat(blk_start[sb], lens_s) + (
+        lens_s = ne_end[sb] - ne_start[sb]
+        idx_s = np.repeat(ne_start[sb], lens_s) + (
             np.arange(int(lens_s.sum()), dtype=np.int64)
             - np.repeat(np.cumsum(lens_s) - lens_s, lens_s)
         )
+        bb_s = rb[idx_s]
+        order_s = np.lexsort((ci[idx_s], bb_s))
+        cb_s = ci[idx_s][order_s]
+        bb_s = bb_s[order_s]
+        rows_s = rows[idx_s][order_s]
         best = None
         for d in sorted(cand):
-            sc = _cluster_score(cb[idx_s] + d, bb[idx_s], rows_bc[idx_s])
+            sc = _cluster_score(cb_s + d, bb_s, rows_s)
             if best is None or sc < best[0]:
                 best = (sc, d)
         delta = best[1]
-    cb = cb + delta
     nchunks = max(nchunks, -(-(n + delta) // (CW * CHUNK_W)))
 
     # Native (C++/OpenMP) analyze covers everything from here to slab enumeration
@@ -235,8 +236,8 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
             nat = None
     if nat is not None:
         s32, lc, slot_u8, layer_k, srb, sw, sk8, slab_wide = nat
-        slab_of_nnz = s32.astype(np.int64)
-        slot_in_slab = slot_u8.astype(np.int64)
+        slab_of_nnz = s32
+        slot_in_slab = slot_u8.astype(np.int32)
         slab_rb = srb.astype(np.int64)
         slab_w = sw.astype(np.int64)
         slab_k = sk8.astype(np.int64)
@@ -253,6 +254,10 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
             tail_rows, tail_ci, tail_v, nkept, mrb,
         )
 
+    # numpy fallback: block-col-sort the full matrix, then greedy-cluster
+    order_bc = np.lexsort((ci, rb))
+    cb = ci[order_bc] + delta
+    bb = rb[order_bc]
     w_sorted, inst_sorted, inst_rb, inst_w, n_inst = _greedy_windows(cb, bb)
     w_of = np.empty(nnz, dtype=np.int64)
     w_of[order_bc] = w_sorted
