@@ -38,18 +38,19 @@ def main():
           flush=True)
 
     for bi, (ba, (l2d, wide)) in enumerate(zip(bargs, log2ds)):
-        csel, osel, first, packed, touched = ba
+        csel, cselb, hasb, osel, first, packed, touched = ba
         nsteps = packed.shape[0]
+        ndual = int(np.asarray(hasb).sum())
 
         @functools.partial(jax.jit, static_argnames=())
         def loop(ba, chunks, pert, n, l2d=l2d, wide=wide):
-            csel, osel, first, packed, touched = ba
+            csel, cselb, hasb, osel, first, packed, touched = ba
 
             def body(i, c):
                 ch = jnp.concatenate(
                     [(pert * (1.0 + c * 1e-30)).astype(jnp.bfloat16), chunks[:, 1:]],
                     axis=1)
-                o = _call_f64(csel, osel, first, packed, ch, l2d, wide, nout, False)
+                o = _call_f64(csel, cselb, hasb, osel, first, packed, ch, l2d, wide, nout, False)
                 return c + o[0, 0, 0] * 1e-30
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
@@ -66,7 +67,7 @@ def main():
         hi = min(once(129) for _ in range(2))
         per = (hi - lo) / 96
         print(f"bucket {bi}: D={1 << l2d:3d} wide={int(wide)} steps={nsteps:5d}  "
-              f"{per*1e6:7.1f}us/iter  {per/nsteps*1e9:6.0f}ns/step", flush=True)
+              f"{per*1e6:7.1f}us/iter  {per/nsteps*1e9:6.0f}ns/step  dual={ndual}", flush=True)
 
 
 if __name__ == "__main__":

@@ -90,9 +90,9 @@ def _dot1(a, b):
     )
 
 
-def _tables(oh, planes, P, D, wide=True):
-    """Build the pair of (128,128) per-sublane x tables (aligned rows A = window
-    base w, B = w+1) from the dual per-POSITION one-hot and bf16-split chunk planes.
+def _tables_dual(oh, pa_sets, pb_sets, has_b, P, D, wide):
+    """Build per-sublane x-table pairs (aligned rows A = window base w, B = w+1)
+    from the CHUNK-PAIR one-hot and bf16-split chunk planes.
 
     Profiling showed the HIGHEST-precision (128,128,128) one-hot matmuls were ~50%
     of the step.  Replacement: one (BOFF+P,128,128) matmul per bf16 plane at DEFAULT
@@ -100,25 +100,46 @@ def _tables(oh, planes, P, D, wide=True):
     element a sum of ≤1 nonzero per plane (exact), and the planes are disjoint
     mantissa segments of the f32 chunk so their f32 sum reconstructs it exactly.
     The (P,128) halves tile over sublanes (slot-major order ⇒ plain broadcast).
+
+    Dual-chunk: the one-hot VALUE encodes the source chunk (1 = chunk a, 2 =
+    chunk b; each position lives on one side, so a+b stays exact) — same packed
+    bytes as a single-chunk selector; the b-side matmuls run under a cond and
+    cost nothing on single-chunk steps.  pa_sets/pb_sets are lists of
+    plane-lists (one per table set: f32 has one, f64 has hi+lo); returns one
+    (tableA, tableB-or-None) pair per set.
     """
     boff = max(P, 8)
     nrows = boff + P if wide else P
-    ohb = oh[:nrows].astype(jnp.bfloat16)  # [A | pad | B] (wide) or [A] (narrow)
-    # ASCENDING plane order makes the f32 reconstruction exact: c3+c2 equals the
-    # first split residual r1 (itself an f32), and r1+c1 == x by construction —
-    # descending order instead rounds the 25-bit span and leaks ~2^-24 |x|.
-    ts = _dot1(ohb, planes[-1])
-    for c in reversed(planes[:-1]):
-        ts = ts + _dot1(ohb, c)
+    ohr = oh[:nrows]  # [A | pad | B] (wide) or [A] (narrow)
+    oha = (ohr & 1).astype(jnp.bfloat16)
+    ohb = (ohr >> 1).astype(jnp.bfloat16)
+
+    def build(ohx, planes):
+        # ASCENDING plane order makes the f32 reconstruction exact: c3+c2 equals
+        # the first split residual r1 (itself an f32), and r1+c1 == x by
+        # construction — descending order rounds the 25-bit span (~2^-24 |x|).
+        ts = _dot1(ohx, planes[-1])
+        for c in reversed(planes[:-1]):
+            ts = ts + _dot1(ohx, c)
+        return ts
+
+    tss = tuple(build(oha, ps) for ps in pa_sets)
+    tss = jax.lax.cond(
+        has_b == 1,
+        lambda ts: tuple(t + build(ohb, ps) for t, ps in zip(ts, pb_sets)),
+        lambda ts: ts,
+        tss,
+    )
 
     def expand(t):
         if D == 1:
             return t
         return jnp.broadcast_to(t[None], (D, P, 128)).reshape(128, 128)
 
-    if not wide:
-        return expand(ts[:P]), None
-    return expand(ts[:P]), expand(ts[boff : boff + P])
+    return [
+        (expand(ts[:P]), expand(ts[boff : boff + P]) if wide else None)
+        for ts in tss
+    ]
 
 
 def _unpack_bytes(words, nrows):
@@ -179,7 +200,8 @@ def _make_f32_kernel(log2d: int, wide: bool):
     P, boff, ohw, nval, _ = _packed_rows(log2d, False, wide)
     D = 1 << log2d
 
-    def kernel(csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref):
+    def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
+               chunkb_ref, o_ref):
         s = pl.program_id(0)
         buf = packed_ref[0]
         vals = jax.lax.bitcast_convert_type(buf[:128], jnp.float32)
@@ -187,7 +209,8 @@ def _make_f32_kernel(log2d: int, wide: bool):
         oh = _unpack_bytes(buf[160 : 160 + ohw], 4 * ohw)
         rb = buf[160 + ohw : 161 + ohw]
         planes = [chunk_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]
-        ta, tb = _tables(oh, planes, P, D, wide)
+        planes_b = [chunkb_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]
+        ((ta, tb),) = _tables_dual(oh, [planes], [planes_b], hasb_r[s], P, D, wide)
         g = _gather_sel(ta, tb, idx) if wide else _lane_gather(ta, idx)
         p = vals * g
         for _ in range(log2d):
@@ -218,7 +241,8 @@ def _make_f64_kernel(log2d: int, wide: bool):
     P, boff, ohw, nval, _ = _packed_rows(log2d, True, wide)
     D = 1 << log2d
 
-    def kernel(csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref):
+    def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
+               chunkb_ref, o_ref):
         s = pl.program_id(0)
         buf = packed_ref[0]
         vh = jax.lax.bitcast_convert_type(buf[:128], jnp.float32)
@@ -227,8 +251,11 @@ def _make_f64_kernel(log2d: int, wide: bool):
         oh = _unpack_bytes(buf[288 : 288 + ohw], 4 * ohw)
         rb = buf[288 + ohw : 289 + ohw]
         planes = [chunk_ref[0, i * 128 : (i + 1) * 128] for i in range(6)]
-        tha, thb = _tables(oh, planes[:3], P, D, wide)
-        tla, tlb = _tables(oh, planes[3:], P, D, wide)
+        planes_b = [chunkb_ref[0, i * 128 : (i + 1) * 128] for i in range(6)]
+        (tha, thb), (tla, tlb) = _tables_dual(
+            oh, [planes[:3], planes[3:]], [planes_b[:3], planes_b[3:]],
+            hasb_r[s], P, D, wide,
+        )
         if wide:
             gh = _gather_sel(tha, thb, idx)
             gl = _gather_sel(tla, tlb, idx)
@@ -301,10 +328,18 @@ def _make_native_steps_kernel(log2d: int, wide: bool, dtype):
             preferred_element_type=dtype,
         )
 
-    def kernel(csel_r, osel_r, first_r, vals_ref, lidx_ref, oh_ref, rb_ref, chunk_ref, o_ref):
+    def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, vals_ref, lidx_ref,
+               oh_ref, rb_ref, chunk_ref, chunkb_ref, o_ref):
         boff = max(P, 8)
-        oh = oh_ref[0, : boff + P if wide else P].astype(dtype)
-        ts = dot(oh, chunk_ref[0])  # A rows then (wide) B rows per position
+        nrows = boff + P if wide else P
+        ohr = oh_ref[0, :nrows].astype(jnp.int32)
+        # chunk-pair tables: the one-hot value encodes the side (1 = chunk a,
+        # 2 = chunk b), and side-b entries are absent on single-chunk steps, so
+        # the unconditional sum is exact (interpret path trades the cond for
+        # simplicity; the TPU kernels skip the b matmuls via lax.cond)
+        ts = dot((ohr & 1).astype(dtype), chunk_ref[0]) + dot(
+            (ohr >> 1).astype(dtype), chunkb_ref[0]
+        )  # A rows then (wide) B rows per position
 
         def expand(t):
             if D == 1:
@@ -329,13 +364,14 @@ def _make_native_steps_kernel(log2d: int, wide: bool, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("log2d", "wide", "nout"))
-def _call_native_interp(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d, wide, nout):
+def _call_native_interp(csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec,
+                        chunks, log2d, wide, nout):
     """Interpret-mode path: per-step outputs in the source dtype, summed exactly."""
     nsteps = vals.shape[0]
     dtype = vals.dtype
     spec3 = lambda s, *_: (s, _Z, _Z)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, 128, 128), spec3),
@@ -343,6 +379,8 @@ def _call_native_interp(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d,
             pl.BlockSpec((1, oh.shape[1], 128), spec3),
             pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z)),
             pl.BlockSpec((1, 128, 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+            pl.BlockSpec((1, 128, 128),
+                         lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)),
         ],
         out_specs=pl.BlockSpec((1, ROUT, 128), spec3),
     )
@@ -351,49 +389,57 @@ def _call_native_interp(csel, osel, first, vals, lidx, oh, rbvec, chunks, log2d,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nsteps, ROUT, 128), dtype),
         interpret=True,
-    )(csel, osel, first, vals, lidx, oh, rbvec, chunks)
+    )(csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, chunks, chunks)
     return jax.ops.segment_sum(per_step.reshape(nsteps, -1), osel, num_segments=nout).reshape(
         nout, ROUT, 128
     )
 
 
-def _call_f32(csel, osel, first, packed, chunks, log2d, wide, nout, interpret):
+def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
+              interpret):
     nsteps = packed.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
             pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+            pl.BlockSpec((1, chunks.shape[1], 128),
+                         lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)),
         ],
-        out_specs=pl.BlockSpec((1, ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
+        out_specs=pl.BlockSpec((1, ROUT, 128),
+                               lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
     )
     return pl.pallas_call(
         _make_f32_kernel(log2d, wide),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, ROUT, 128), jnp.float32),
         interpret=interpret,
-    )(csel, osel, first, packed, chunks)
+    )(csel, cselb, hasb, osel, first, packed, chunks, chunks)
 
 
-def _call_f64(csel, osel, first, packed, chunks, log2d, wide, nout, interpret):
+def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
+              interpret):
     nsteps = packed.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
             pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+            pl.BlockSpec((1, chunks.shape[1], 128),
+                         lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)),
         ],
         # hi rows [0, ROUT), err rows [ROUT, 2*ROUT) in ONE block: one write-back DMA
-        out_specs=pl.BlockSpec((1, 2 * ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
+        out_specs=pl.BlockSpec((1, 2 * ROUT, 128),
+                               lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
     )
     return pl.pallas_call(
         _make_f64_kernel(log2d, wide),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, 2 * ROUT, 128), jnp.float32),
         interpret=interpret,
-    )(csel, osel, first, packed, chunks)
+    )(csel, cselb, hasb, osel, first, packed, chunks, chunks)
 
 
 class _DeviceSwellPlan:
@@ -422,6 +468,8 @@ class _DeviceSwellPlan:
                     wide=bk.wide,
                     packed=jnp.asarray(_pack_bucket(bk, vals, log2d)),
                     csel=jnp.asarray(bk.chunksel),
+                    cselb=jnp.asarray(bk.chunkselb),
+                    hasb=jnp.asarray(bk.hasb),
                     osel=jnp.asarray(bk.outsel),
                     first=jnp.asarray(bk.first),
                     touched=jnp.asarray(bk.touched),
@@ -500,13 +548,15 @@ def _bucket_args(dp: _DeviceSwellPlan, interp: bool):
             if "interp_args" not in b:
                 hb = dp._host_buckets[i]
                 b["interp_args"] = (
-                    b["csel"], b["osel"], b["first"], jnp.asarray(hb.values),
-                    jnp.asarray(hb.lidx), jnp.asarray(hb.onehot),
-                    jnp.asarray(hb.rbvec)[:, None, :], b["touched"],
+                    b["csel"], b["cselb"], b["hasb"], b["osel"], b["first"],
+                    jnp.asarray(hb.values), jnp.asarray(hb.lidx),
+                    jnp.asarray(hb.onehot), jnp.asarray(hb.rbvec)[:, None, :],
+                    b["touched"],
                 )
             out.append(b["interp_args"])
         else:
-            out.append((b["csel"], b["osel"], b["first"], b["packed"], b["touched"]))
+            out.append((b["csel"], b["cselb"], b["hasb"], b["osel"], b["first"],
+                        b["packed"], b["touched"]))
     return tuple(out)
 
 
@@ -580,20 +630,22 @@ def swell_ax(bargs, tail, x, statics):
         total = None
         for ba, (log2d, wide) in zip(bargs, log2ds):
             if interp:
-                csel, osel, first, vals, lidx, oh, rbvec, touched = ba
-                o = _call_native_interp(csel, osel, first, vals, lidx, oh, rbvec,
-                                        chunks[0], log2d, wide, nout)
+                csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
+                o = _call_native_interp(csel, cselb, hasb, osel, first, vals,
+                                        lidx, oh, rbvec, chunks[0], log2d, wide, nout)
                 part = o if is64 else o.astype(jnp.float32)
             elif is64:
-                csel, osel, first, packed, touched = ba
-                o = _call_f64(csel, osel, first, packed, chunks, log2d, wide, nout, False)
+                csel, cselb, hasb, osel, first, packed, touched = ba
+                o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
+                              log2d, wide, nout, False)
                 mask = touched[:, None, None]
                 part = jnp.where(mask, o[:, :ROUT], 0.0).astype(jnp.float64) + jnp.where(
                     mask, o[:, ROUT:], 0.0
                 ).astype(jnp.float64)
             else:
-                csel, osel, first, packed, touched = ba
-                o = _call_f32(csel, osel, first, packed, chunks, log2d, wide, nout, False)
+                csel, cselb, hasb, osel, first, packed, touched = ba
+                o = _call_f32(csel, cselb, hasb, osel, first, packed, chunks,
+                              log2d, wide, nout, False)
                 part = jnp.where(touched[:, None, None], o, 0.0)
             total = part if total is None else total + part
         total = total.reshape(nout, tile_rb, copies, 128).sum(axis=2)

@@ -60,9 +60,13 @@ class SwellBucket:
     nsteps: int
     values: np.ndarray         # (nsteps, 128, 128) source dtype
     lidx: np.ndarray           # (nsteps, 128, 128) uint8 — index within the 256-col window
-    onehot: np.ndarray         # (nsteps, ohp, 128) int8 — dual window-in-chunk per position
+    onehot: np.ndarray         # (nsteps, ohp, 128) int8 — dual window-in-chunk per position;
+    #                            value 1 selects from chunk a, value 2 from chunk b
     rbvec: np.ndarray          # (nsteps, 128) int32 — row-block (mod ROUT) per slab pos, -1 pad
-    chunksel: np.ndarray       # (nsteps,) int32 — x chunk id
+    chunksel: np.ndarray       # (nsteps,) int32 — primary x chunk id (a)
+    chunkselb: np.ndarray      # (nsteps,) int32 — secondary x chunk id (b); sticky-filled on
+    #                            single-chunk steps to minimize re-DMAs
+    hasb: np.ndarray           # (nsteps,) int32 — 1 if the step has chunk-b slabs
     outsel: np.ndarray         # (nsteps,) int32 — output window id
     first: np.ndarray          # (nsteps,) int32 — 1 on first step of an outsel run
     touched: np.ndarray        # (nout,) bool — out windows this bucket writes
@@ -352,6 +356,166 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     )
 
 
+def _absorb_remainders(packs, sb_var, sb_step, sb_pos, slab_copy, slab_rb,
+                       slab_chunk, slab_out, slab_wide, tile_rb, copies, nslabs):
+    """Kill partial remainder steps by relocating their slabs into free positions
+    of other steps of the same out window (same-depth holes first, then deeper
+    buckets).
+
+    A depth-d slab sits at a position of a depth-D>=d step with its trailing
+    D-d slots zero — the kernel's fold adds exact zeros, so correctness is free;
+    the wasted slots are bytes, but each killed step saves a whole ~1us grid
+    step, which dominates.  Relocation preserves the step invariants: one out
+    window, at most two distinct chunks, at most one slab per output row
+    (the copy is re-chosen to dodge conflicts), and wide slabs only into wide
+    buckets.  Mutates sb_var/sb_step/sb_pos/slab_copy in place.
+    """
+    if nslabs == 0 or not len(packs):
+        return
+    order = np.lexsort((sb_step, sb_var))
+    sv = sb_var[order]
+    st = sb_step[order]
+    new = np.ones(len(order), dtype=bool)
+    new[1:] = (sv[1:] != sv[:-1]) | (st[1:] != st[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.concatenate([starts[1:], [len(order)]])
+    reg = {}        # (vi, step) -> [free_pos list, chunk set, rbrow set, slab list]
+    out_steps = {}  # (vi, out) -> ordered list of (vi, step) keys
+    for a, b in zip(starts, ends):
+        sl = order[a:b]
+        vi = int(sv[a])
+        step = int(st[a])
+        P = 128 >> packs[vi][0]
+        used_pos = set(int(p) for p in sb_pos[sl])
+        free = [p for p in range(P - 1, -1, -1) if p not in used_pos]
+        chunkset = set(int(c) for c in slab_chunk[sl])
+        rbrows = set(int(r) for r in (slab_rb[sl] % tile_rb) * copies + slab_copy[sl])
+        reg[(vi, step)] = [free, chunkset, rbrows, list(sl)]
+        out_steps.setdefault((vi, int(slab_out[sl[0]])), []).append((vi, step))
+    vorder = sorted(range(len(packs)), key=lambda v: (packs[v][0], packs[v][1]))
+    kof = {v: packs[v][0] for v in range(len(packs))}
+    wof = {v: packs[v][1] for v in range(len(packs))}
+    for vi in vorder:
+        k_s = kof[vi]
+        P_s = 128 >> k_s
+        # targets: same depth (narrow source may use its own or the wide bucket's
+        # holes — zero slot waste), then strictly deeper (ascending waste)
+        tvars = [t for t in vorder if kof[t] > k_s or (kof[t] == k_s)]
+        for (vo, out), keys in out_steps.items():
+            if vo != vi:
+                continue
+            ki = len(keys) - 1
+            while ki >= 0:
+                key = keys[ki]
+                free, chunkset, rbrows, slabs = reg[key]
+                if len(slabs) > max(1, P_s // 2):
+                    break
+                placements = []
+                backup = {}
+                moved = set()
+
+                def touch(tkey):
+                    if tkey not in backup:
+                        f, ch, rbs, sl = reg[tkey]
+                        backup[tkey] = (list(f), set(ch), set(rbs), list(sl))
+
+                def commit(s, t, tkey):
+                    touch(tkey)
+                    tfree, tchunks, trbrows, tslabs = reg[tkey]
+                    c = int(slab_chunk[s])
+                    rb = int(slab_rb[s] % tile_rb)
+                    cc = next(j for j in range(copies)
+                              if rb * copies + j not in trbrows)
+                    pos = tfree.pop()
+                    tchunks.add(c)
+                    trbrows.add(rb * copies + cc)
+                    tslabs.append(s)
+                    moved.add(s)
+                    placements.append((s, t, tkey, pos, cc))
+
+                def fits(s, t, tkey, need_free=True):
+                    ent = reg[tkey]
+                    if need_free and not ent[0]:
+                        return False
+                    if bool(slab_wide[s]) and not wof[t]:
+                        return False
+                    c = int(slab_chunk[s])
+                    if c not in ent[1] and len(ent[1]) >= 2:
+                        return False
+                    rb = int(slab_rb[s] % tile_rb)
+                    return any(rb * copies + j not in ent[2] for j in range(copies))
+
+                ok = True
+                for s in slabs:
+                    placed = False
+                    for t in tvars:
+                        for tkey in out_steps.get((t, out), ()):
+                            if tkey == key:
+                                continue
+                            if fits(s, t, tkey):
+                                commit(s, t, tkey)
+                                placed = True
+                                break
+                        if placed:
+                            break
+                    if placed:
+                        continue
+                    # one-level swap chain: a free-position step T rejects s only
+                    # on an output-row conflict (typical for window-straddling
+                    # row-blocks whose extra slabs pile into every trailing
+                    # step); move some donor slab X from a full conflict-free
+                    # step F into T, then place s into F's freed position.
+                    for t in tvars:
+                        for tkey in out_steps.get((t, out), ()):
+                            if tkey == key or not reg[tkey][0]:
+                                continue
+                            for fkey in out_steps.get((t, out), ()):
+                                if fkey in (key, tkey):
+                                    continue
+                                if not fits(s, t, fkey, need_free=False):
+                                    continue
+                                don = next((x for x in reg[fkey][3]
+                                            if x not in moved and fits(x, t, tkey)), None)
+                                if don is None:
+                                    continue
+                                commit(don, t, tkey)
+                                touch(fkey)
+                                ent_f = reg[fkey]
+                                ent_f[3].remove(don)
+                                drb = int(slab_rb[don] % tile_rb)
+                                ent_f[2].discard(drb * copies + int(slab_copy[don]))
+                                ent_f[0].append(int(sb_pos[don]))
+                                ent_f[1].clear()
+                                ent_f[1].update(int(slab_chunk[x]) for x in ent_f[3])
+                                commit(s, t, fkey)
+                                placed = True
+                                break
+                            if placed:
+                                break
+                        if placed:
+                            break
+                    if not placed:
+                        ok = False
+                        break
+                if not ok:
+                    for tkey, snap in backup.items():
+                        reg[tkey][0][:] = snap[0]
+                        reg[tkey][1].clear()
+                        reg[tkey][1].update(snap[1])
+                        reg[tkey][2].clear()
+                        reg[tkey][2].update(snap[2])
+                        reg[tkey][3][:] = snap[3]
+                    break
+                for s, t, tkey, pos, cc in placements:
+                    sb_var[s] = t
+                    sb_step[s] = tkey[1]
+                    sb_pos[s] = pos
+                    slab_copy[s] = cc
+                del reg[key]
+                keys.pop(ki)
+                ki -= 1
+
+
 def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
                        slab_of_nnz, lc, slot_in_slab, layer_k, lane, vk,
                        slab_rb, slab_w, slab_k, slab_wide, slab_out, slab_chunk,
@@ -380,15 +544,15 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
             slab_bucket_wide[in_k] = slab_wide[in_k]
         else:
             slab_bucket_wide[in_k] = bool(slab_wide[in_k].any())
-    nnz_bwide = slab_bucket_wide[slab_of_nnz]
 
     def occ_for(tile_rb_c, nout_c):
-        # occurrence index j of each slab within its (bucket k, out, chunk, rb)
-        # group; copy = j % copies (its output-row copy) — slabs targeting the
-        # same OUTPUT ROW (rb, copy) must land in different steps so the one-hot
+        # occurrence index j of each slab within its (bucket k, out, rb) group
+        # (chunks MERGE into one q-group per out — steps carry a chunk PAIR);
+        # copy = j % copies (its output-row copy) — slabs targeting the same
+        # OUTPUT ROW (rb, copy) must land in different steps so the one-hot
         # scatter stays exact
         out_c = (slab_rb // tile_rb_c).astype(np.int64)
-        pack_key = (slab_k * nout_c + out_c) * nchunks + slab_chunk
+        pack_key = slab_k * nout_c + out_c
         rb_key = pack_key * np.int64(mrb + 1) + slab_rb
         order_r = np.argsort(rb_key, kind="stable")
         rk = rb_key[order_r]
@@ -403,17 +567,21 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         return occ_c, out_c
 
     def pack_variant(sel, P, occ_all, out_c, copies_c):
-        # q-group = (bucket k, out, chunk); within q, SEQUENTIALLY cut P slabs per
-        # step (occ-major order), then evict output-row conflicts / overflow to
-        # later steps.  This replaces round-quantized packing, whose per-round
-        # remainders left 15-60% of step positions empty on FEM-like structure.
+        # q-group = (bucket k, out) — chunks MERGE: a step may draw x windows from
+        # up to TWO chunks (the kernel holds a chunk pair resident), which removes
+        # the per-(out,chunk) final-partial-step waste that dominated posfill loss
+        # on band/FEM matrices.  Within q, slabs are cut sequentially P per step in
+        # (chunk, occ)-major order, then a cascade evicts output-row conflicts,
+        # overflow, and third-chunk slabs to later steps.
         occ = occ_all[sel]
         ck = slab_rb[sel] * copies_c + (occ % copies_c)  # step-conflict key
-        q_key = out_c[sel] * nchunks + slab_chunk[sel]
-        order_q = np.lexsort((ck, occ, q_key))
+        chn = slab_chunk[sel]
+        q_key = out_c[sel]
+        order_q = np.lexsort((ck, occ, chn, q_key))
         sq = sel[order_q]
         qk = q_key[order_q]
         ckq = ck[order_q]
+        chq = chn[order_q]
         nb = len(sq)
         qnew = np.empty(nb, dtype=bool)
         qnew[0] = True
@@ -422,8 +590,10 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         q_start = np.flatnonzero(qnew)
         idx_in_q = np.arange(nb, dtype=np.int64) - q_start[q_id]
         step_in_q = idx_in_q // P
-        BIG = np.int64(nb + 2)
         max_rounds = int(occ.max()) + 2 if nb else 2
+        # strict upper bound on any step_in_q the cascade can produce (initial cut
+        # + one increment per round) so q-groups never collide in k2
+        BIG = np.int64(nb // P + max_rounds + 260)
         seq = np.arange(nb, dtype=np.int64)
         for _ in range(max_rounds + 130):
             k2 = q_id * BIG + step_in_q
@@ -436,23 +606,45 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
             dup[1:] = (~grp_new[1:]) & (cks[1:] == cks[:-1])
             rank = seq - np.maximum.accumulate(np.where(grp_new, seq, 0))
             bad = dup | (rank >= P)
-            if not bad.any():
+            # chunk legality: at most 2 distinct chunks per step — mark every slab
+            # belonging to the 3rd+ distinct chunk of its step
+            o2c = np.lexsort((chq, k2))
+            k2c = k2[o2c]
+            chc = chq[o2c]
+            gc = np.ones(nb, dtype=bool)
+            np.not_equal(k2c[1:], k2c[:-1], out=gc[1:])
+            cnew = gc.copy()
+            cnew[1:] |= chc[1:] != chc[:-1]
+            cum = np.cumsum(cnew)
+            base = np.maximum.accumulate(np.where(gc, cum - 1, 0))
+            crank = cum - 1 - base  # distinct-chunk index within step, 0-based
+            badc = np.zeros(nb, dtype=bool)
+            badc[o2c] = crank >= 2
+            bad2 = np.zeros(nb, dtype=bool)
+            bad2[o2] = bad
+            bad2 |= badc
+            if not bad2.any():
                 break
-            step_in_q[o2[bad]] += 1
+            step_in_q[bad2] += 1
         else:  # pragma: no cover — cascade failed to settle (pathological layout);
-            # fall back to round-quantized packing (step run per occurrence round,
-            # P per step): conflict-free by construction, at the cost of partial
-            # steps.  The dense re-indexing below compacts the sparse step ids.
+            # fall back to round-quantized per-(out,chunk) packing (step run per
+            # occurrence round, P per step): conflict-free and single-chunk by
+            # construction, at the cost of partial steps.  The dense re-indexing
+            # below compacts the sparse step ids.
             oq = occ[order_q]
-            kqo = q_id * np.int64(nb + 2) + oq
+            kqo = (q_id * np.int64(nchunks) + chq) * np.int64(nb + 2) + oq
             nqo = np.empty(nb, dtype=bool)
             nqo[0] = True
             np.not_equal(kqo[1:], kqo[:-1], out=nqo[1:])
             qo_start = np.flatnonzero(nqo)
             qo_id = np.cumsum(nqo) - 1
             idx_in_qo = np.arange(nb, dtype=np.int64) - qo_start[qo_id]
-            step_in_q = oq * np.int64(nb + 1) + idx_in_qo // P
-        # compact step ids (eviction can leave empty steps) and make them global
+            step_in_q = (chq * np.int64(nb + 1) + oq) * np.int64(nb + 1) + idx_in_qo // P
+        # compact step ids (eviction can leave empty steps) and make them global;
+        # the q multiplier must exceed any step_in_q (the fallback path emits
+        # sparse ids far above BIG)
+        if nb:
+            BIG = max(BIG, np.int64(step_in_q.max()) + 2)
         k2 = q_id * BIG + step_in_q
         uniq_steps, step_dense = np.unique(k2, return_inverse=True)
         step_of = step_dense  # dense AND globally ordered by (q, step)
@@ -485,25 +677,67 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         if best is None or score < best[0]:
             best = (score, c, trb, nout_c, occ_c, out_c, packs)
     _, copies, tile_rb, nout, slab_occ, slab_out, packs = best
-    slab_copy = slab_occ % copies
+    slab_copy = (slab_occ % copies).astype(np.int64)
+
+    # ---- global per-slab assignment (variant, local step, position) ----------
+    nvar = len(packs)
+    sb_var = np.full(nslabs, -1, dtype=np.int64)
+    sb_step = np.full(nslabs, -1, dtype=np.int64)
+    sb_pos = np.full(nslabs, -1, dtype=np.int64)
+    for vi, (k, wide, (sq, step_of, pos_of, nsteps)) in enumerate(packs):
+        sb_var[sq] = vi
+        sb_step[sq] = step_of
+        sb_pos[sq] = pos_of
+
+    if not os.environ.get("SPMV_TPU_NO_ABSORB"):
+        _absorb_remainders(packs, sb_var, sb_step, sb_pos, slab_copy, slab_rb,
+                           slab_chunk, slab_out, slab_wide, tile_rb, copies, nslabs)
 
     buckets_out: List[SwellBucket] = []
     padded_slots = 0
     total_steps = 0
-    for k, wide, (sq, step_of, pos_of, nsteps) in packs:
+    for vi, (k, wide, _pk) in enumerate(packs):
         D = 1 << k
         P = 128 // D
-        # per-slab (in bucket-sorted order sq) step/pos
+        mine = np.flatnonzero(sb_var == vi)
+        if len(mine) == 0:
+            continue
+        # dense step renumber (absorption kills steps) preserving (out, step) order
+        uniq_st, dense = np.unique(sb_step[mine], return_inverse=True)
+        nsteps = len(uniq_st)
+        # per-slab (global index) step/pos for the nnz scatter
         slab_step = np.empty(nslabs, dtype=np.int64)
         slab_pos = np.empty(nslabs, dtype=np.int64)
-        slab_step[sq] = step_of
-        slab_pos[sq] = pos_of
+        slab_step[mine] = dense
+        slab_pos[mine] = sb_pos[mine]
+        step_of = dense
+        pos_of = sb_pos[mine]
+        sq = mine
 
-        # per-step metadata from the first slab of each step
-        chunksel = np.zeros(nsteps, dtype=np.int32)
+        # per-step metadata; a step's slabs span at most TWO distinct chunks
+        # (cascade-enforced): a = min, b = max of the step's chunks
+        chunks_s = slab_chunk[sq]
         outsel = np.zeros(nsteps, dtype=np.int32)
-        chunksel[step_of] = slab_chunk[sq].astype(np.int32)
         outsel[step_of] = slab_out[sq].astype(np.int32)
+        csa = np.full(nsteps, np.int64(1) << 40, dtype=np.int64)
+        np.minimum.at(csa, step_of, chunks_s)
+        csb = np.full(nsteps, -1, dtype=np.int64)
+        np.maximum.at(csb, step_of, chunks_s)
+        hasb = (csb != csa).astype(np.int32)
+        chunksel = csa.astype(np.int32)
+        bad = (chunks_s != csa[step_of]) & (chunks_s != csb[step_of])
+        assert not bad.any(), "step chunk-pair invariant violated (3+ distinct chunks)"
+        side_b = (chunks_s == csb[step_of]) & (hasb[step_of] == 1)
+        # sticky chunk-b selector: single-chunk steps reuse the NEXT dual step's b
+        # chunk so the chunk-b block re-DMAs only when a dual run actually needs a
+        # different one (each index change = one 196KB DMA)
+        dual_pos = np.flatnonzero(hasb)
+        if len(dual_pos):
+            j = np.searchsorted(dual_pos, np.arange(nsteps))
+            j = np.minimum(j, len(dual_pos) - 1)
+            chunkselb = csb[dual_pos[j]].astype(np.int32)
+        else:
+            chunkselb = np.full(nsteps, chunksel[0] if nsteps else 0, dtype=np.int32)
         first = np.zeros(nsteps, dtype=np.int32)
         first[0] = 1
         first[1:] = (outsel[1:] != outsel[:-1]).astype(np.int32)
@@ -515,19 +749,24 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
 
         # dual one-hot per slab POSITION: rows [0,P) select the window's aligned
         # table row A (= slab_w); for wide buckets rows [BOFF, BOFF+P) select row
-        # B (= slab_w + 1).  The kernel builds a table stack in one matmul and
-        # tile-expands the halves over sublanes.
+        # B (= slab_w + 1).  The chunk side rides in the VALUE (1 = chunk a,
+        # 2 = chunk b — each position lives on exactly one side), so the packed
+        # bytes stay the same as the single-chunk layout; the kernel splits sides
+        # with `&1` / `>>1` and skips the b-side matmuls when the step has no b
+        # slabs.
         boff = max(P, 8)
         ohl = 2 * boff if wide else max(4, -(-P // 4) * 4)
+        ohv = np.where(side_b, 2, 1).astype(np.int8)
         onehot = np.zeros((nsteps, ohl, 128), dtype=np.int8)
         w_local = (slab_w[sq] & (CHUNK_W - 1)).astype(np.int64)
-        onehot[step_of, pos_of, w_local] = 1
+        onehot[step_of, pos_of, w_local] = ohv
         if wide:
             has_b = w_local <= CHUNK_W - 2
-            onehot[step_of[has_b], boff + pos_of[has_b], w_local[has_b] + 1] = 1
+            onehot[step_of[has_b], boff + pos_of[has_b], w_local[has_b] + 1] = ohv[has_b]
 
-        # scatter nnz of this bucket (+variant)
-        esel = np.flatnonzero((layer_k == k) & (nnz_bwide == wide))
+        # scatter nnz of this bucket (+variant) — keyed on the slab's FINAL
+        # bucket (absorption may have moved it from its layer's native depth)
+        esel = np.flatnonzero(sb_var[slab_of_nnz] == vi)
         e_slab = slab_of_nnz[esel]
         e_sub = slot_in_slab[esel] * P + slab_pos[e_slab]
         e_step = slab_step[e_slab]
@@ -542,7 +781,8 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         buckets_out.append(
             SwellBucket(
                 depth=D, wide=wide, nsteps=nsteps, values=vals, lidx=lidx,
-                onehot=onehot, rbvec=rbvec, chunksel=chunksel, outsel=outsel,
+                onehot=onehot, rbvec=rbvec, chunksel=chunksel,
+                chunkselb=chunkselb, hasb=hasb, outsel=outsel,
                 first=first, touched=touched, nnz=len(esel),
             )
         )

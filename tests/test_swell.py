@@ -125,11 +125,15 @@ def test_native_analyze_matches_numpy():
         csr = make()
         rp, ci, v, shape = csr.to_numpy()
         plan_np = None
+        # absorption relocates slabs across depth buckets, which deliberately
+        # breaks the bucket-depth==layer-k invariant this test keys on
         os.environ["SPMV_TPU_NO_NATIVE"] = "1"
+        os.environ["SPMV_TPU_NO_ABSORB"] = "1"
         try:
             plan_np = build_swell_plan(rp, ci, v, shape)
         finally:
             del os.environ["SPMV_TPU_NO_NATIVE"]
+            del os.environ["SPMV_TPU_NO_ABSORB"]
         nat = swell_analyze_native(rp, ci, shape[0], plan_np.delta)
         if nat is None:
             pytest.skip("native library unavailable")
