@@ -24,9 +24,16 @@ from spmv_acc_tpu.ops.swell import (_bucket_args, _call_f64, _prep_x_pure,
 
 
 def main():
-    m = 2_000_000
-    csr = banded_csr(m, bandwidth=7, seed=3, dtype=np.float64)
-    x, _ = random_x_y(m, m, seed=7)
+    import sys as _sys
+    name = _sys.argv[1] if len(_sys.argv) > 1 else "banded2M"
+    if name == "banded2M":
+        m = 2_000_000
+        csr = banded_csr(m, bandwidth=7, seed=3, dtype=np.float64)
+    else:
+        from spmv_acc_tpu.formats.generate import example_like
+        csr = example_like(name, dtype=np.float64)
+        m = csr.shape[0]
+    x, _ = random_x_y(csr.shape[1], m, seed=7)
     dp = get_swell_plan(csr, np.float64)
     bargs = _bucket_args(dp, False)
     st = _statics(dp, False)
@@ -37,20 +44,20 @@ def main():
     print(f"plan: fill={dp.plan.fill_efficiency:.3f} steps={dp.plan.total_steps}",
           flush=True)
 
-    for bi, (ba, (l2d, wide)) in enumerate(zip(bargs, log2ds)):
+    for bi, (ba, (l2d, wide, dual)) in enumerate(zip(bargs, log2ds)):
         csel, cselb, hasb, osel, first, packed, touched = ba
         nsteps = packed.shape[0]
-        ndual = int(np.asarray(hasb).sum())
+        ndual = int((np.asarray(hasb) != 0).sum())
 
         @functools.partial(jax.jit, static_argnames=())
-        def loop(ba, chunks, pert, n, l2d=l2d, wide=wide):
+        def loop(ba, chunks, pert, n, l2d=l2d, wide=wide, dual=dual):
             csel, cselb, hasb, osel, first, packed, touched = ba
 
             def body(i, c):
                 ch = jnp.concatenate(
                     [(pert * (1.0 + c * 1e-30)).astype(jnp.bfloat16), chunks[:, 1:]],
                     axis=1)
-                o = _call_f64(csel, cselb, hasb, osel, first, packed, ch, l2d, wide, nout, False)
+                o = _call_f64(csel, cselb, hasb, osel, first, packed, ch, l2d, wide, nout, False, dual)
                 return c + o[0, 0, 0] * 1e-30
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))

@@ -90,7 +90,7 @@ def _dot1(a, b):
     )
 
 
-def _tables_dual(oh, pa_sets, pb_sets, has_b, P, D, wide):
+def _tables_dual(oh, pa_sets, pb_sets, has_b, ts_refs, P, D, wide):
     """Build per-sublane x-table pairs (aligned rows A = window base w, B = w+1)
     from the CHUNK-PAIR one-hot and bf16-split chunk planes.
 
@@ -103,16 +103,17 @@ def _tables_dual(oh, pa_sets, pb_sets, has_b, P, D, wide):
 
     Dual-chunk: the one-hot VALUE encodes the source chunk (1 = chunk a, 2 =
     chunk b; each position lives on one side, so a+b stays exact) — same packed
-    bytes as a single-chunk selector; the b-side matmuls run under a cond and
-    cost nothing on single-chunk steps.  pa_sets/pb_sets are lists of
-    plane-lists (one per table set: f32 has one, f64 has hi+lo); returns one
-    (tableA, tableB-or-None) pair per set.
+    bytes as a single-chunk selector.  Side handling is predicated with pl.when
+    blocks writing a VMEM scratch (ts_refs, one per table set): the single-chunk
+    branch uses the raw one-hot (pure value-1) with no decode, so the common
+    path matches the single-chunk kernel; lax.cond with matmul branches measured
+    +170..370ns/step, pl.when is the fast Mosaic predication.  pa_sets/pb_sets
+    are lists of plane-lists (one per table set: f32 has one, f64 has hi+lo);
+    returns one (tableA, tableB-or-None) pair per set.
     """
     boff = max(P, 8)
     nrows = boff + P if wide else P
     ohr = oh[:nrows]  # [A | pad | B] (wide) or [A] (narrow)
-    oha = (ohr & 1).astype(jnp.bfloat16)
-    ohb = (ohr >> 1).astype(jnp.bfloat16)
 
     def build(ohx, planes):
         # ASCENDING plane order makes the f32 reconstruction exact: c3+c2 equals
@@ -123,22 +124,43 @@ def _tables_dual(oh, pa_sets, pb_sets, has_b, P, D, wide):
             ts = ts + _dot1(ohx, c)
         return ts
 
-    tss = tuple(build(oha, ps) for ps in pa_sets)
-    tss = jax.lax.cond(
-        has_b == 1,
-        lambda ts: tuple(t + build(ohb, ps) for t, ps in zip(ts, pb_sets)),
-        lambda ts: ts,
-        tss,
-    )
-
     def expand(t):
         if D == 1:
             return t
         return jnp.broadcast_to(t[None], (D, P, 128)).reshape(128, 128)
 
+    if pb_sets is None:
+        # single-chunk bucket (no dual step anywhere): the original zero-overhead
+        # path — no chunk-b operand, no predication, no side decode
+        ohx = ohr.astype(jnp.bfloat16)
+        return [
+            (expand(ts[:P]), expand(ts[boff : boff + P]) if wide else None)
+            for ts in (build(ohx, ps) for ps in pa_sets)
+        ]
+
+    @pl.when(has_b == 0)
+    def _():
+        ohx = ohr.astype(jnp.bfloat16)
+        for ref, ps in zip(ts_refs, pa_sets):
+            ref[:nrows] = build(ohx, ps)
+
+    @pl.when(has_b == 1)
+    def _():
+        oha = (ohr & 1).astype(jnp.bfloat16)
+        ohb = (ohr >> 1).astype(jnp.bfloat16)
+        for ref, pa, pb in zip(ts_refs, pa_sets, pb_sets):
+            ref[:nrows] = build(oha, pa) + build(ohb, pb)
+
+    @pl.when(has_b == 2)
+    def _():
+        # all slabs on slot b (one-hot values all 2): single matmul set, no mix
+        ohx = (ohr >> 1).astype(jnp.bfloat16)
+        for ref, ps in zip(ts_refs, pb_sets):
+            ref[:nrows] = build(ohx, ps)
+
     return [
-        (expand(ts[:P]), expand(ts[boff : boff + P]) if wide else None)
-        for ts in tss
+        (expand(ref[:P]), expand(ref[boff : boff + P]) if wide else None)
+        for ref in ts_refs
     ]
 
 
@@ -196,12 +218,16 @@ def _scatter_exact(rb_row, tensors, P):
 # ------------------------------------------------------------------- kernels
 
 
-def _make_f32_kernel(log2d: int, wide: bool):
+def _make_f32_kernel(log2d: int, wide: bool, dual: bool):
     P, boff, ohw, nval, _ = _packed_rows(log2d, False, wide)
     D = 1 << log2d
 
     def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
-               chunkb_ref, o_ref):
+               *rest):
+        if dual:
+            chunkb_ref, o_ref, ts_ref = rest
+        else:
+            (o_ref,) = rest
         s = pl.program_id(0)
         buf = packed_ref[0]
         vals = jax.lax.bitcast_convert_type(buf[:128], jnp.float32)
@@ -209,14 +235,20 @@ def _make_f32_kernel(log2d: int, wide: bool):
         oh = _unpack_bytes(buf[160 : 160 + ohw], 4 * ohw)
         rb = buf[160 + ohw : 161 + ohw]
         planes = [chunk_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]
-        planes_b = [chunkb_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]
-        ((ta, tb),) = _tables_dual(oh, [planes], [planes_b], hasb_r[s], P, D, wide)
+        planes_b = [chunkb_ref[0, i * 128 : (i + 1) * 128] for i in range(3)] if dual else None
+        ((ta, tb),) = _tables_dual(oh, [planes], [planes_b] if dual else None,
+                                   hasb_r[s], (ts_ref,) if dual else None, P, D, wide)
         g = _gather_sel(ta, tb, idx) if wide else _lane_gather(ta, idx)
         p = vals * g
         for _ in range(log2d):
             half = p.shape[0] // 2
             p = p[:half] + p[half:]
-        (contrib,) = _scatter_exact(rb, (p,), P)
+        if log2d == 0:
+            # plan pins position == output row for depth-1 (P == ROUT): the
+            # scatter matrix is the identity, skip its matmuls entirely
+            contrib = p
+        else:
+            (contrib,) = _scatter_exact(rb, (p,), P)
         first = first_r[s]
 
         @pl.when(first == 1)
@@ -237,12 +269,16 @@ def _split(a):
     return hi, a - hi
 
 
-def _make_f64_kernel(log2d: int, wide: bool):
+def _make_f64_kernel(log2d: int, wide: bool, dual: bool):
     P, boff, ohw, nval, _ = _packed_rows(log2d, True, wide)
     D = 1 << log2d
 
     def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
-               chunkb_ref, o_ref):
+               *rest):
+        if dual:
+            chunkb_ref, o_ref, ts_hi, ts_lo = rest
+        else:
+            (o_ref,) = rest
         s = pl.program_id(0)
         buf = packed_ref[0]
         vh = jax.lax.bitcast_convert_type(buf[:128], jnp.float32)
@@ -251,10 +287,11 @@ def _make_f64_kernel(log2d: int, wide: bool):
         oh = _unpack_bytes(buf[288 : 288 + ohw], 4 * ohw)
         rb = buf[288 + ohw : 289 + ohw]
         planes = [chunk_ref[0, i * 128 : (i + 1) * 128] for i in range(6)]
-        planes_b = [chunkb_ref[0, i * 128 : (i + 1) * 128] for i in range(6)]
+        planes_b = [chunkb_ref[0, i * 128 : (i + 1) * 128] for i in range(6)] if dual else None
         (tha, thb), (tla, tlb) = _tables_dual(
-            oh, [planes[:3], planes[3:]], [planes_b[:3], planes_b[3:]],
-            hasb_r[s], P, D, wide,
+            oh, [planes[:3], planes[3:]],
+            [planes_b[:3], planes_b[3:]] if dual else None,
+            hasb_r[s], (ts_hi, ts_lo) if dual else None, P, D, wide,
         )
         if wide:
             gh = _gather_sel(tha, thb, idx)
@@ -281,7 +318,12 @@ def _make_f64_kernel(log2d: int, wide: bool):
             err = (a - (ssum - bb)) + (b - bb)
             e = e[:half] + e[half:] + err
             p = ssum
-        ph, pe = _scatter_exact(rb, (p, e), P)
+        if log2d == 0:
+            # plan pins position == output row for depth-1 (P == ROUT): the
+            # scatter matrix is the identity, skip its matmuls entirely
+            ph, pe = p, e
+        else:
+            ph, pe = _scatter_exact(rb, (p, e), P)
         first = first_r[s]
 
         @pl.when(first == 1)
@@ -395,51 +437,88 @@ def _call_native_interp(csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec,
     )
 
 
+def _ts_rows(log2d: int, wide: bool) -> int:
+    P = 128 >> log2d
+    boff = max(P, 8)
+    nrows = boff + P if wide else P
+    return -(-nrows // 8) * 8
+
+
 def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
-              interpret):
+              interpret, dual=True):
     nsteps = packed.shape[0]
+    in_specs = [
+        pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
+        pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+    ]
+    if dual:
+        in_specs.append(pl.BlockSpec((1, chunks.shape[1], 128),
+                                     lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
-            pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
-            pl.BlockSpec((1, chunks.shape[1], 128),
-                         lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, ROUT, 128),
                                lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
+        scratch_shapes=[pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32)]
+        if dual else [],
     )
+    args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ())
     return pl.pallas_call(
-        _make_f32_kernel(log2d, wide),
+        _make_f32_kernel(log2d, wide, dual),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, ROUT, 128), jnp.float32),
         interpret=interpret,
-    )(csel, cselb, hasb, osel, first, packed, chunks, chunks)
+    )(*args)
 
 
 def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
-              interpret):
+              interpret, dual=True):
     nsteps = packed.shape[0]
+    if not dual:
+        # exact legacy 3-scalar call for single-chunk buckets (A/B: isolate scalar count)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
+                pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+            ],
+            out_specs=pl.BlockSpec((1, 2 * ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
+        )
+        def k3(csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref):
+            return _make_f64_kernel(log2d, wide, False)(
+                csel_r, csel_r, csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref)
+        return pl.pallas_call(
+            k3, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nout, 2 * ROUT, 128), jnp.float32),
+            interpret=interpret,
+        )(csel, osel, first, packed, chunks)
+    in_specs = [
+        pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
+        pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+    ]
+    if dual:
+        in_specs.append(pl.BlockSpec((1, chunks.shape[1], 128),
+                                     lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
-            pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
-            pl.BlockSpec((1, chunks.shape[1], 128),
-                         lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)),
-        ],
+        in_specs=in_specs,
         # hi rows [0, ROUT), err rows [ROUT, 2*ROUT) in ONE block: one write-back DMA
         out_specs=pl.BlockSpec((1, 2 * ROUT, 128),
                                lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
+        scratch_shapes=[pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32),
+                        pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32)]
+        if dual else [],
     )
+    args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ())
     return pl.pallas_call(
-        _make_f64_kernel(log2d, wide),
+        _make_f64_kernel(log2d, wide, dual),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, 2 * ROUT, 128), jnp.float32),
         interpret=interpret,
-    )(csel, cselb, hasb, osel, first, packed, chunks, chunks)
+    )(*args)
 
 
 class _DeviceSwellPlan:
@@ -466,6 +545,7 @@ class _DeviceSwellPlan:
                 dict(
                     log2d=log2d,
                     wide=bk.wide,
+                    dual=bool(bk.hasb.any()),
                     packed=jnp.asarray(_pack_bucket(bk, vals, log2d)),
                     csel=jnp.asarray(bk.chunksel),
                     cselb=jnp.asarray(bk.chunkselb),
@@ -565,7 +645,7 @@ def _statics(dp: _DeviceSwellPlan, interp: bool):
     return (
         bool(dp.dtype == np.float64), bool(interp), p.nout, p.nchunks,
         p.copies, p.tile_rb, p.rows, p.delta,
-        tuple((b["log2d"], b["wide"]) for b in dp.buckets),
+        tuple((b["log2d"], b["wide"], b["dual"]) for b in dp.buckets),
     )
 
 
@@ -628,7 +708,7 @@ def swell_ax(bargs, tail, x, statics):
     else:
         chunks = _prep_x_pure(x, nchunks, is64, native=interp, delta=delta)
         total = None
-        for ba, (log2d, wide) in zip(bargs, log2ds):
+        for ba, (log2d, wide, dual) in zip(bargs, log2ds):
             if interp:
                 csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
                 o = _call_native_interp(csel, cselb, hasb, osel, first, vals,
@@ -637,7 +717,7 @@ def swell_ax(bargs, tail, x, statics):
             elif is64:
                 csel, cselb, hasb, osel, first, packed, touched = ba
                 o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False)
+                              log2d, wide, nout, False, dual)
                 mask = touched[:, None, None]
                 part = jnp.where(mask, o[:, :ROUT], 0.0).astype(jnp.float64) + jnp.where(
                     mask, o[:, ROUT:], 0.0
@@ -645,7 +725,7 @@ def swell_ax(bargs, tail, x, statics):
             else:
                 csel, cselb, hasb, osel, first, packed, touched = ba
                 o = _call_f32(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False)
+                              log2d, wide, nout, False, dual)
                 part = jnp.where(touched[:, None, None], o, 0.0)
             total = part if total is None else total + part
         total = total.reshape(nout, tile_rb, copies, 128).sum(axis=2)

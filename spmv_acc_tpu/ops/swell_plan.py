@@ -356,8 +356,9 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     )
 
 
-def _absorb_remainders(packs, sb_var, sb_step, sb_pos, slab_copy, slab_rb,
-                       slab_chunk, slab_out, slab_wide, tile_rb, copies, nslabs):
+def _absorb_remainders(packs, merges, sb_var, sb_step, sb_pos, slab_copy,
+                       slab_rb, slab_chunk, slab_out, slab_wide, tile_rb,
+                       copies, nslabs):
     """Kill partial remainder steps by relocating their slabs into free positions
     of other steps of the same out window (same-depth holes first, then deeper
     buckets).
@@ -440,8 +441,12 @@ def _absorb_remainders(packs, sb_var, sb_step, sb_pos, slab_copy, slab_rb,
                     if bool(slab_wide[s]) and not wof[t]:
                         return False
                     c = int(slab_chunk[s])
-                    if c not in ent[1] and len(ent[1]) >= 2:
-                        return False
+                    if c not in ent[1]:
+                        # single-packed buckets stay single-chunk (their whole
+                        # bucket compiles to the zero-overhead legacy kernel);
+                        # merged buckets accept a second chunk per step
+                        if not merges[t] or len(ent[1]) >= 2:
+                            return False
                     rb = int(slab_rb[s] % tile_rb)
                     return any(rb * copies + j not in ent[2] for j in range(copies))
 
@@ -566,17 +571,21 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         occ_c[order_r] = occ_sorted
         return occ_c, out_c
 
-    def pack_variant(sel, P, occ_all, out_c, copies_c):
-        # q-group = (bucket k, out) — chunks MERGE: a step may draw x windows from
-        # up to TWO chunks (the kernel holds a chunk pair resident), which removes
-        # the per-(out,chunk) final-partial-step waste that dominated posfill loss
-        # on band/FEM matrices.  Within q, slabs are cut sequentially P per step in
-        # (chunk, occ)-major order, then a cascade evicts output-row conflicts,
-        # overflow, and third-chunk slabs to later steps.
+    def pack_variant(sel, P, occ_all, out_c, copies_c, merge):
+        # merge=True: q-group = (bucket k, out) — chunks MERGE: a step may draw x
+        # windows from up to TWO chunks (the kernel holds a chunk pair resident),
+        # which removes the per-(out,chunk) final-partial-step waste that
+        # dominated posfill loss on band/FEM matrices — at the price of the dual
+        # kernel's overhead on mixed steps.  merge=False: q-group = (k, out,
+        # chunk), single-chunk steps, zero-overhead legacy kernel.  The caller
+        # packs BOTH and picks per bucket by a measured cost model.  Within q,
+        # slabs are cut sequentially P per step in (chunk, occ)-major order, then
+        # a cascade evicts output-row conflicts, overflow, and third-chunk slabs
+        # to later steps.
         occ = occ_all[sel]
         ck = slab_rb[sel] * copies_c + (occ % copies_c)  # step-conflict key
         chn = slab_chunk[sel]
-        q_key = out_c[sel]
+        q_key = out_c[sel] if merge else out_c[sel] * np.int64(nchunks) + chn
         order_q = np.lexsort((ck, occ, chn, q_key))
         sq = sel[order_q]
         qk = q_key[order_q]
@@ -658,40 +667,74 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
 
     variants = [(k, wide) for k in range(8) for wide in (False, True)
                 if ((slab_k == k) & (slab_bucket_wide == wide)).any()]
-    cands = sorted({copies} | ({copies * 2} if copies * 2 <= 8 else set()))
-    best = None
-    for c in cands:
-        trb = ROUT // c
-        nout_c = max(1, -(-mrb // trb))
-        occ_c, out_c = occ_for(trb, nout_c)
-        packs = []
-        steps = 0
-        for k, wide in variants:
-            sel = np.flatnonzero((slab_k == k) & (slab_bucket_wide == wide))
-            pk = pack_variant(sel, 128 >> k, occ_c, out_c, c)
-            packs.append((k, wide, pk))
-            steps += pk[3]
-        # output tiles cost ~0.8 step-equivalents each (2*ROUT*128*4B writes vs
-        # ~164KB slab reads per step)
-        score = steps + 0.8 * nout_c
-        if best is None or score < best[0]:
-            best = (score, c, trb, nout_c, occ_c, out_c, packs)
-    _, copies, tile_rb, nout, slab_occ, slab_out, packs = best
-    slab_copy = (slab_occ % copies).astype(np.int64)
+    # hardware-measured f64 step cost per depth (v5e slope timing; D=1 includes
+    # the identity-scatter skip) and the dual-kernel tax: ~60ns fixed (extra
+    # operand + pl.when) on every step of a dual bucket, ~300ns (one extra table
+    # build; roughly flat across depths — shallow buckets are latency-bound and
+    # hide part of it, deep ones are throughput-bound) on each MIXED step
+    STEP_NS = (956.0, 1050.0, 820.0, 800.0, 800.0, 800.0, 800.0, 800.0)
+    base_copies = copies
 
-    # ---- global per-slab assignment (variant, local step, position) ----------
-    nvar = len(packs)
-    sb_var = np.full(nslabs, -1, dtype=np.int64)
-    sb_step = np.full(nslabs, -1, dtype=np.int64)
-    sb_pos = np.full(nslabs, -1, dtype=np.int64)
-    for vi, (k, wide, (sq, step_of, pos_of, nsteps)) in enumerate(packs):
-        sb_var[sq] = vi
-        sb_step[sq] = step_of
-        sb_pos[sq] = pos_of
+    def run_config(merge_all):
+        """Pack (best `copies` candidate) + absorb for one chunk-merge policy;
+        returns the post-absorption modeled cost (ns) and all placement state.
+        Chunk merging and absorption interact (absorption's biggest kills need
+        the chunk-pair freedom), so the policies are compared END-TO-END."""
+        cands = sorted({base_copies} | ({base_copies * 2} if base_copies * 2 <= 8 else set()))
+        bst = None
+        for c in cands:
+            trb = ROUT // c
+            nout_c = max(1, -(-mrb // trb))
+            occ_c, out_c = occ_for(trb, nout_c)
+            packs = []
+            eff = 0.0
+            for k, wide in variants:
+                sel = np.flatnonzero((slab_k == k) & (slab_bucket_wide == wide))
+                pk = pack_variant(sel, 128 >> k, occ_c, out_c, c, merge_all)
+                packs.append((k, wide, pk))
+                eff += pk[3]
+            # output tiles cost ~0.8 step-equivalents each (2*ROUT*128*4B writes
+            # vs ~164KB slab reads per step)
+            score = eff + 0.8 * nout_c
+            if bst is None or score < bst[0]:
+                bst = (score, c, trb, nout_c, occ_c, out_c, packs)
+        _, c, trb, nout_c, occ_c, out_c, packs = bst
+        scopy = (occ_c % c).astype(np.int64)
+        sb_var = np.full(nslabs, -1, dtype=np.int64)
+        sb_step = np.full(nslabs, -1, dtype=np.int64)
+        sb_pos = np.full(nslabs, -1, dtype=np.int64)
+        for vi, (k, wide, (sq, step_of, pos_of, nsteps)) in enumerate(packs):
+            sb_var[sq] = vi
+            sb_step[sq] = step_of
+            sb_pos[sq] = pos_of
+        if not os.environ.get("SPMV_TPU_NO_ABSORB"):
+            _absorb_remainders(packs, [merge_all] * len(packs), sb_var, sb_step,
+                               sb_pos, scopy, slab_rb, slab_chunk,
+                               (slab_rb // trb).astype(np.int64), slab_wide,
+                               trb, c, nslabs)
+        cost = 0.8 * nout_c * 800.0
+        for vi, (k, wide, _pk) in enumerate(packs):
+            mine = np.flatnonzero(sb_var == vi)
+            if not len(mine):
+                continue
+            stp = sb_step[mine]
+            ns = len(np.unique(stp))
+            n_mixed = max(0, len(np.unique(stp * np.int64(nchunks) + slab_chunk[mine])) - ns)
+            cost += ns * (STEP_NS[k] + (60.0 if n_mixed else 0.0)) + n_mixed * 300.0
+        return cost, (c, trb, nout_c, occ_c, out_c, packs, scopy,
+                      sb_var, sb_step, sb_pos)
 
-    if not os.environ.get("SPMV_TPU_NO_ABSORB"):
-        _absorb_remainders(packs, sb_var, sb_step, sb_pos, slab_copy, slab_rb,
-                           slab_chunk, slab_out, slab_wide, tile_rb, copies, nslabs)
+    force = os.environ.get("SPMV_TPU_FORCE_MERGE")  # "1"/"0" pins the policy (A/B tooling)
+    if force == "1":
+        _, state = run_config(True)
+    elif force == "0":
+        _, state = run_config(False)
+    else:
+        cost_m, state_m = run_config(True)
+        cost_s, state_s = run_config(False)
+        state = state_m if cost_m < cost_s else state_s
+    (copies, tile_rb, nout, slab_occ, slab_out, packs, slab_copy,
+     sb_var, sb_step, sb_pos) = state
 
     buckets_out: List[SwellBucket] = []
     padded_slots = 0
@@ -705,6 +748,13 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         # dense step renumber (absorption kills steps) preserving (out, step) order
         uniq_st, dense = np.unique(sb_step[mine], return_inverse=True)
         nsteps = len(uniq_st)
+        if k == 0:
+            # depth-1 buckets have P == 128 == output-tile rows, so pin each
+            # slab's position to its OUTPUT ROW: the scatter matrix becomes the
+            # identity and the kernel skips the scatter matmuls entirely
+            # (measured -344ns of a 1429ns step).  Uniqueness holds because the
+            # packing already guarantees <=1 slab per output row per step.
+            sb_pos[mine] = (slab_rb[mine] % tile_rb) * copies + slab_copy[mine]
         # per-slab (global index) step/pos for the nnz scatter
         slab_step = np.empty(nslabs, dtype=np.int64)
         slab_pos = np.empty(nslabs, dtype=np.int64)
@@ -715,7 +765,7 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         sq = mine
 
         # per-step metadata; a step's slabs span at most TWO distinct chunks
-        # (cascade-enforced): a = min, b = max of the step's chunks
+        # (cascade-enforced)
         chunks_s = slab_chunk[sq]
         outsel = np.zeros(nsteps, dtype=np.int32)
         outsel[step_of] = slab_out[sq].astype(np.int32)
@@ -723,21 +773,73 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         np.minimum.at(csa, step_of, chunks_s)
         csb = np.full(nsteps, -1, dtype=np.int64)
         np.maximum.at(csb, step_of, chunks_s)
-        hasb = (csb != csa).astype(np.int32)
-        chunksel = csa.astype(np.int32)
         bad = (chunks_s != csa[step_of]) & (chunks_s != csb[step_of])
         assert not bad.any(), "step chunk-pair invariant violated (3+ distinct chunks)"
-        side_b = (chunks_s == csb[step_of]) & (hasb[step_of] == 1)
-        # sticky chunk-b selector: single-chunk steps reuse the NEXT dual step's b
-        # chunk so the chunk-b block re-DMAs only when a dual run actually needs a
-        # different one (each index change = one 196KB DMA)
-        dual_pos = np.flatnonzero(hasb)
-        if len(dual_pos):
-            j = np.searchsorted(dual_pos, np.arange(nsteps))
-            j = np.minimum(j, len(dual_pos) - 1)
-            chunkselb = csb[dual_pos[j]].astype(np.int32)
+        # The kernel's two chunk operands form a 2-slot cache over the step
+        # sequence; each x-chunk block re-DMA is ~196KB, so slot contents are
+        # assigned by Belady's rule (evict the chunk whose next use is farthest).
+        # For sliding pair patterns (c,c+1)->(c+1,c+2) this halves chunk loads
+        # versus fixed a=min/b=max roles.  hasb is a 3-state side flag: 0 = all
+        # slabs on slot a, 2 = all on slot b (both skip the side decode and run
+        # one table-matmul set), 1 = mixed (both sides built + summed).
+        need = [set() for _ in range(nsteps)]
+        uq = np.unique(np.stack([step_of, chunks_s]), axis=1)
+        for stp, c in uq.T:
+            need[int(stp)].add(int(c))
+        side_b = np.zeros(len(sq), dtype=bool)
+        hasb = np.zeros(nsteps, dtype=np.int32)
+        if all(len(s) <= 1 for s in need):
+            # every step single-chunk: bypass the slot machinery entirely so the
+            # bucket compiles to the zero-overhead legacy kernel (hasb all 0);
+            # Belady would otherwise park chunks in slot b for cross-out reuse
+            # and silently drag the whole bucket onto the dual kernel
+            chunksel = csa.astype(np.int32)
+            chunkselb = chunksel.copy()
         else:
-            chunkselb = np.full(nsteps, chunksel[0] if nsteps else 0, dtype=np.int32)
+            uses = {}
+            for i in range(nsteps - 1, -1, -1):
+                for c in need[i]:
+                    uses.setdefault(c, []).append(i)  # descending step lists
+            nxt = {c: list(l) for c, l in uses.items()}
+            slot = [None, None]
+            chunksel = np.zeros(nsteps, dtype=np.int32)
+            chunkselb = np.zeros(nsteps, dtype=np.int32)
+
+            def _next_use(c, i):
+                l = nxt.get(c)
+                if not l:
+                    return 1 << 60
+                while l and l[-1] <= i:
+                    l.pop()
+                return l[-1] if l else (1 << 60)
+
+            for i in range(nsteps):
+                S = need[i]
+                for c in S:
+                    if c in slot:
+                        continue
+                    # Belady: evict the candidate whose content has the farthest
+                    # next use; ties (incl. the empty slot's +inf) break toward
+                    # OCCUPIED slots, then slot 0 — so single-chunk runs keep
+                    # recycling slot a and never fabricate pure-b steps (which
+                    # would force the whole bucket onto the dual kernel)
+                    cand = [j for j in (0, 1) if slot[j] not in S]
+                    j = max(cand, key=lambda j: (
+                        (1 << 60) if slot[j] is None else _next_use(slot[j], i),
+                        slot[j] is not None,
+                        j == 0,
+                    ))
+                    slot[j] = c
+                chunksel[i] = slot[0] if slot[0] is not None else (slot[1] or 0)
+                chunkselb[i] = slot[1] if slot[1] is not None else chunksel[i]
+            in_a = chunks_s == chunksel[step_of]
+            side_b[:] = ~in_a
+            a_used = np.zeros(nsteps, dtype=bool)
+            b_used = np.zeros(nsteps, dtype=bool)
+            np.logical_or.at(a_used, step_of, in_a)
+            np.logical_or.at(b_used, step_of, ~in_a)
+            assert (chunks_s[~in_a] == chunkselb[step_of[~in_a]]).all()
+            hasb = np.where(a_used & b_used, 1, np.where(b_used, 2, 0)).astype(np.int32)
         first = np.zeros(nsteps, dtype=np.int32)
         first[0] = 1
         first[1:] = (outsel[1:] != outsel[:-1]).astype(np.int32)
