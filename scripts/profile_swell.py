@@ -44,20 +44,20 @@ def main():
     print(f"plan: fill={dp.plan.fill_efficiency:.3f} steps={dp.plan.total_steps}",
           flush=True)
 
-    for bi, (ba, (l2d, wide, dual)) in enumerate(zip(bargs, log2ds)):
+    for bi, (ba, (l2d, wide, dual, cpos)) in enumerate(zip(bargs, log2ds)):
         csel, cselb, hasb, osel, first, packed, touched = ba
         nsteps = packed.shape[0]
         ndual = int((np.asarray(hasb) != 0).sum())
 
         @functools.partial(jax.jit, static_argnames=())
-        def loop(ba, chunks, pert, n, l2d=l2d, wide=wide, dual=dual):
+        def loop(ba, chunks, pert, n, l2d=l2d, wide=wide, dual=dual, cpos=cpos):
             csel, cselb, hasb, osel, first, packed, touched = ba
 
             def body(i, c):
                 ch = jnp.concatenate(
                     [(pert * (1.0 + c * 1e-30)).astype(jnp.bfloat16), chunks[:, 1:]],
                     axis=1)
-                o = _call_f64(csel, cselb, hasb, osel, first, packed, ch, l2d, wide, nout, False, dual)
+                o = _call_f64(csel, cselb, hasb, osel, first, packed, ch, l2d, wide, nout, False, dual, cpos)
                 return c + o[0, 0, 0] * 1e-30
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
@@ -74,7 +74,7 @@ def main():
         hi = min(once(129) for _ in range(2))
         per = (hi - lo) / 96
         print(f"bucket {bi}: D={1 << l2d:3d} wide={int(wide)} steps={nsteps:5d}  "
-              f"{per*1e6:7.1f}us/iter  {per/nsteps*1e9:6.0f}ns/step  dual={ndual}", flush=True)
+              f"{per*1e6:7.1f}us/iter  {per/nsteps*1e9:6.0f}ns/step  dual={ndual} cpos={int(cpos)}", flush=True)
 
 
 if __name__ == "__main__":

@@ -173,13 +173,14 @@ def _unpack_bytes(words, nrows):
 
 
 def _packed_rows(log2d: int, is64: bool, wide: bool):
-    """Row layout of the per-step packed int32 buffer (single large DMA)."""
+    """Row layout of the per-step packed int32 buffer (single large DMA):
+    values | lidx | onehot | rbvec | occrow | pad."""
     P = 128 >> log2d
     boff = max(P, 8)
     ohl = 2 * boff if wide else max(4, -(-P // 4) * 4)
     ohw = ohl // 4
     nval = 256 if is64 else 128
-    r = nval + 32 + ohw + 1
+    r = nval + 32 + ohw + 2
     return P, boff, ohw, nval, -(-r // 8) * 8
 
 
@@ -218,7 +219,28 @@ def _scatter_exact(rb_row, tensors, P):
 # ------------------------------------------------------------------- kernels
 
 
-def _make_f32_kernel(log2d: int, wide: bool, dual: bool):
+def _mask_col(occ_row):
+    """(1,128) 0/1 occupancy by out row -> (128,128) f32 mask with row r all-
+    occ[r], via one identity matmul (the cheap lane->sublane move; exact: 0/1).
+    Mosaic rejects N=1 matvec lowering, so the occupancy is lane-broadcast and
+    contracted full-width (still a single MXU pass)."""
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)).astype(jnp.bfloat16)
+    occ_b = jnp.broadcast_to(occ_row.astype(jnp.bfloat16), (128, 128))
+    # contract both LANE dims (A @ B^T): out[r, l'] = sum_j I[r,j]*occ[j] = occ[r]
+    return jax.lax.dot_general(
+        ident, occ_b, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32)
+
+
+def _expand_tile(t, D, P):
+    """(P,128) -> (128,128) with row j*P+p = t[p] (position-class layout)."""
+    if D == 1:
+        return t
+    return jnp.broadcast_to(t[None], (D, P, 128)).reshape(128, 128)
+
+
+def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool):
     P, boff, ohw, nval, _ = _packed_rows(log2d, False, wide)
     D = 1 << log2d
 
@@ -243,10 +265,15 @@ def _make_f32_kernel(log2d: int, wide: bool, dual: bool):
         for _ in range(log2d):
             half = p.shape[0] // 2
             p = p[:half] + p[half:]
-        if log2d == 0:
-            # plan pins position == output row for depth-1 (P == ROUT): the
-            # scatter matrix is the identity, skip its matmuls entirely
+        if classpos and log2d == 0:
+            # position == output row (P == ROUT): the scatter is the identity
             contrib = p
+        elif classpos:
+            # position-class layout: out row j*P+p receives fold[p] gated by the
+            # occupancy mask (one tiny matmul + a VPU multiply instead of the
+            # one-hot scatter matmuls); exact since the mask is 0/1
+            occ = buf[161 + ohw : 162 + ohw]
+            contrib = _expand_tile(p, D, P) * _mask_col(occ)
         else:
             (contrib,) = _scatter_exact(rb, (p,), P)
         first = first_r[s]
@@ -269,7 +296,7 @@ def _split(a):
     return hi, a - hi
 
 
-def _make_f64_kernel(log2d: int, wide: bool, dual: bool):
+def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool):
     P, boff, ohw, nval, _ = _packed_rows(log2d, True, wide)
     D = 1 << log2d
 
@@ -318,10 +345,17 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool):
             err = (a - (ssum - bb)) + (b - bb)
             e = e[:half] + e[half:] + err
             p = ssum
-        if log2d == 0:
-            # plan pins position == output row for depth-1 (P == ROUT): the
-            # scatter matrix is the identity, skip its matmuls entirely
+        if classpos and log2d == 0:
+            # position == output row (P == ROUT): the scatter is the identity
             ph, pe = p, e
+        elif classpos:
+            # position-class layout: out row j*P+p receives fold[p] gated by the
+            # occupancy mask (one tiny matmul + two VPU multiplies instead of
+            # the one-hot scatter matmuls); exact since the mask is 0/1
+            occ = buf[289 + ohw : 290 + ohw]
+            m = _mask_col(occ)
+            ph = _expand_tile(p, D, P) * m
+            pe = _expand_tile(e, D, P) * m
         else:
             ph, pe = _scatter_exact(rb, (p, e), P)
         first = first_r[s]
@@ -445,7 +479,7 @@ def _ts_rows(log2d: int, wide: bool) -> int:
 
 
 def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
-              interpret, dual=True):
+              interpret, dual=True, classpos=False):
     nsteps = packed.shape[0]
     in_specs = [
         pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
@@ -465,7 +499,7 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
     )
     args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ())
     return pl.pallas_call(
-        _make_f32_kernel(log2d, wide, dual),
+        _make_f32_kernel(log2d, wide, dual, classpos),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, ROUT, 128), jnp.float32),
         interpret=interpret,
@@ -473,7 +507,7 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
 
 
 def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
-              interpret, dual=True):
+              interpret, dual=True, classpos=False):
     nsteps = packed.shape[0]
     if not dual:
         # exact legacy 3-scalar call for single-chunk buckets (A/B: isolate scalar count)
@@ -487,7 +521,7 @@ def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
             out_specs=pl.BlockSpec((1, 2 * ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
         )
         def k3(csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref):
-            return _make_f64_kernel(log2d, wide, False)(
+            return _make_f64_kernel(log2d, wide, False, classpos)(
                 csel_r, csel_r, csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref)
         return pl.pallas_call(
             k3, grid_spec=grid_spec,
@@ -514,7 +548,7 @@ def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
     )
     args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ())
     return pl.pallas_call(
-        _make_f64_kernel(log2d, wide, dual),
+        _make_f64_kernel(log2d, wide, dual, classpos),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, 2 * ROUT, 128), jnp.float32),
         interpret=interpret,
@@ -546,6 +580,7 @@ class _DeviceSwellPlan:
                     log2d=log2d,
                     wide=bk.wide,
                     dual=bool(bk.hasb.any()),
+                    classpos=bk.classpos,
                     packed=jnp.asarray(_pack_bucket(bk, vals, log2d)),
                     csel=jnp.asarray(bk.chunksel),
                     cselb=jnp.asarray(bk.chunkselb),
@@ -590,7 +625,8 @@ def _pack_bucket(bk, vals, log2d):
     parts.append(_pack32(bk.lidx))
     parts.append(_pack32(bk.onehot.astype(np.uint8)))
     parts.append(bk.rbvec[:, None, :])
-    used = nval + 32 + ohw + 1
+    parts.append(bk.occrow[:, None, :])
+    used = nval + 32 + ohw + 2
     if rpad > used:
         parts.append(np.zeros((n, rpad - used, 128), np.int32))
     return np.concatenate(parts, axis=1)
@@ -645,7 +681,7 @@ def _statics(dp: _DeviceSwellPlan, interp: bool):
     return (
         bool(dp.dtype == np.float64), bool(interp), p.nout, p.nchunks,
         p.copies, p.tile_rb, p.rows, p.delta,
-        tuple((b["log2d"], b["wide"], b["dual"]) for b in dp.buckets),
+        tuple((b["log2d"], b["wide"], b["dual"], b["classpos"]) for b in dp.buckets),
     )
 
 
@@ -708,7 +744,7 @@ def swell_ax(bargs, tail, x, statics):
     else:
         chunks = _prep_x_pure(x, nchunks, is64, native=interp, delta=delta)
         total = None
-        for ba, (log2d, wide, dual) in zip(bargs, log2ds):
+        for ba, (log2d, wide, dual, classpos) in zip(bargs, log2ds):
             if interp:
                 csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
                 o = _call_native_interp(csel, cselb, hasb, osel, first, vals,
@@ -717,7 +753,7 @@ def swell_ax(bargs, tail, x, statics):
             elif is64:
                 csel, cselb, hasb, osel, first, packed, touched = ba
                 o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False, dual)
+                              log2d, wide, nout, False, dual, classpos)
                 mask = touched[:, None, None]
                 part = jnp.where(mask, o[:, :ROUT], 0.0).astype(jnp.float64) + jnp.where(
                     mask, o[:, ROUT:], 0.0
@@ -725,7 +761,7 @@ def swell_ax(bargs, tail, x, statics):
             else:
                 csel, cselb, hasb, osel, first, packed, touched = ba
                 o = _call_f32(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False, dual)
+                              log2d, wide, nout, False, dual, classpos)
                 part = jnp.where(touched[:, None, None], o, 0.0)
             total = part if total is None else total + part
         total = total.reshape(nout, tile_rb, copies, 128).sum(axis=2)

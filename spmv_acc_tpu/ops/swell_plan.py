@@ -57,12 +57,14 @@ class SwellBucket:
 
     depth: int                 # D
     wide: bool                 # any in-window index >= 128 (B table row needed)
+    classpos: bool             # positions pinned to outrow % P: mask scatter
     nsteps: int
     values: np.ndarray         # (nsteps, 128, 128) source dtype
     lidx: np.ndarray           # (nsteps, 128, 128) uint8 — index within the 256-col window
     onehot: np.ndarray         # (nsteps, ohp, 128) int8 — dual window-in-chunk per position;
     #                            value 1 selects from chunk a, value 2 from chunk b
     rbvec: np.ndarray          # (nsteps, 128) int32 — row-block (mod ROUT) per slab pos, -1 pad
+    occrow: np.ndarray         # (nsteps, 128) int32 — 1 at lane r iff out row r occupied
     chunksel: np.ndarray       # (nsteps,) int32 — primary x chunk id (a)
     chunkselb: np.ndarray      # (nsteps,) int32 — secondary x chunk id (b); sticky-filled on
     #                            single-chunk steps to minimize re-DMAs
@@ -396,6 +398,7 @@ def _absorb_remainders(packs, merges, sb_var, sb_step, sb_pos, slab_copy,
     vorder = sorted(range(len(packs)), key=lambda v: (packs[v][0], packs[v][1]))
     kof = {v: packs[v][0] for v in range(len(packs))}
     wof = {v: packs[v][1] for v in range(len(packs))}
+    cof = {v: (len(packs[v]) > 3 and packs[v][3]) for v in range(len(packs))}
     for vi in vorder:
         k_s = kof[vi]
         P_s = 128 >> k_s
@@ -420,16 +423,34 @@ def _absorb_remainders(packs, merges, sb_var, sb_step, sb_pos, slab_copy,
                         f, ch, rbs, sl = reg[tkey]
                         backup[tkey] = (list(f), set(ch), set(rbs), list(sl))
 
+                def _copy_for(s, t, ent):
+                    """A copy index whose output row (and, for position-class
+                    buckets, class) is free in the target step, or None."""
+                    rb = int(slab_rb[s] % tile_rb)
+                    P_t = 128 >> kof[t]
+                    for j in range(copies):
+                        r = rb * copies + j
+                        if r in ent[2]:
+                            continue
+                        if cof[t] and any(x % P_t == r % P_t for x in ent[2]):
+                            continue
+                        return j
+                    return None
+
                 def commit(s, t, tkey):
                     touch(tkey)
                     tfree, tchunks, trbrows, tslabs = reg[tkey]
                     c = int(slab_chunk[s])
                     rb = int(slab_rb[s] % tile_rb)
-                    cc = next(j for j in range(copies)
-                              if rb * copies + j not in trbrows)
-                    pos = tfree.pop()
+                    cc = _copy_for(s, t, reg[tkey])
+                    r = rb * copies + cc
+                    if cof[t]:
+                        pos = r % (128 >> kof[t])
+                        tfree.remove(pos)
+                    else:
+                        pos = tfree.pop()
                     tchunks.add(c)
-                    trbrows.add(rb * copies + cc)
+                    trbrows.add(r)
                     tslabs.append(s)
                     moved.add(s)
                     placements.append((s, t, tkey, pos, cc))
@@ -447,8 +468,7 @@ def _absorb_remainders(packs, merges, sb_var, sb_step, sb_pos, slab_copy,
                         # merged buckets accept a second chunk per step
                         if not merges[t] or len(ent[1]) >= 2:
                             return False
-                    rb = int(slab_rb[s] % tile_rb)
-                    return any(rb * copies + j not in ent[2] for j in range(copies))
+                    return _copy_for(s, t, ent) is not None
 
                 ok = True
                 for s in slabs:
@@ -571,7 +591,7 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         occ_c[order_r] = occ_sorted
         return occ_c, out_c
 
-    def pack_variant(sel, P, occ_all, out_c, copies_c, merge):
+    def pack_variant(sel, P, occ_all, out_c, copies_c, merge, classpos):
         # merge=True: q-group = (bucket k, out) — chunks MERGE: a step may draw x
         # windows from up to TWO chunks (the kernel holds a chunk pair resident),
         # which removes the per-(out,chunk) final-partial-step waste that
@@ -583,7 +603,16 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         # a cascade evicts output-row conflicts, overflow, and third-chunk slabs
         # to later steps.
         occ = occ_all[sel]
-        ck = slab_rb[sel] * copies_c + (occ % copies_c)  # step-conflict key
+        if classpos:
+            # position-class packing: slab position is PINNED to outrow % P, so
+            # the kernel's scatter matmuls collapse to a broadcast + occupancy
+            # mask.  The conflict key is the class (subsumes output-row
+            # uniqueness: same row -> same class); distinct rows sharing a class
+            # also conflict, which is the policy's packing tax.
+            trb_l = ROUT // copies_c
+            ck = ((slab_rb[sel] % trb_l) * copies_c + (occ % copies_c)) % np.int64(P)
+        else:
+            ck = slab_rb[sel] * copies_c + (occ % copies_c)  # step-conflict key
         chn = slab_chunk[sel]
         q_key = out_c[sel] if merge else out_c[sel] * np.int64(nchunks) + chn
         order_q = np.lexsort((ck, occ, chn, q_key))
@@ -599,7 +628,16 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         q_start = np.flatnonzero(qnew)
         idx_in_q = np.arange(nb, dtype=np.int64) - q_start[q_id]
         step_in_q = idx_in_q // P
-        max_rounds = int(occ.max()) + 2 if nb else 2
+        # rounds must cover the worst CONFLICT-KEY multiplicity within a q-group
+        # (for classpos the class collapses many rows together — occ.max() alone
+        # once left the cascade unsettled and the class-blind fallback emitted
+        # same-class duplicates, silently corrupting the mask scatter)
+        if nb:
+            _, kcnt = np.unique(q_id * (np.int64(ckq.max()) + 2) + ckq,
+                                return_counts=True)
+            max_rounds = int(max(occ.max(), kcnt.max())) + 2
+        else:
+            max_rounds = 2
         # strict upper bound on any step_in_q the cascade can produce (initial cut
         # + one increment per round) so q-groups never collide in k2
         BIG = np.int64(nb // P + max_rounds + 260)
@@ -636,19 +674,35 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
                 break
             step_in_q[bad2] += 1
         else:  # pragma: no cover — cascade failed to settle (pathological layout);
-            # fall back to round-quantized per-(out,chunk) packing (step run per
-            # occurrence round, P per step): conflict-free and single-chunk by
-            # construction, at the cost of partial steps.  The dense re-indexing
-            # below compacts the sparse step ids.
-            oq = occ[order_q]
-            kqo = (q_id * np.int64(nchunks) + chq) * np.int64(nb + 2) + oq
-            nqo = np.empty(nb, dtype=bool)
-            nqo[0] = True
-            np.not_equal(kqo[1:], kqo[:-1], out=nqo[1:])
-            qo_start = np.flatnonzero(nqo)
-            qo_id = np.cumsum(nqo) - 1
-            idx_in_qo = np.arange(nb, dtype=np.int64) - qo_start[qo_id]
-            step_in_q = (chq * np.int64(nb + 1) + oq) * np.int64(nb + 1) + idx_in_qo // P
+            # fall back to per-(out,chunk) quantized packing: conflict-free and
+            # single-chunk by construction, at the cost of partial steps.  The
+            # dense re-indexing below compacts the sparse step ids.
+            if classpos:
+                # step j of each (out, chunk) holds the j-th slab of EACH class:
+                # <= P slabs per step, all classes distinct — the class-BLIND
+                # occurrence quantization would stack same-class slabs and
+                # corrupt the mask scatter
+                kqo = (q_id * np.int64(nchunks) + chq) * np.int64(P) + ckq
+                order_f = np.argsort(kqo, kind="stable")
+                nqo = np.empty(nb, dtype=bool)
+                nqo[0] = True
+                kfs = kqo[order_f]
+                np.not_equal(kfs[1:], kfs[:-1], out=nqo[1:])
+                qo_start = np.flatnonzero(nqo)
+                qo_id = np.cumsum(nqo) - 1
+                rank = np.empty(nb, dtype=np.int64)
+                rank[order_f] = np.arange(nb, dtype=np.int64) - qo_start[qo_id]
+                step_in_q = chq * np.int64(nb + 1) + rank
+            else:
+                oq = occ[order_q]
+                kqo = (q_id * np.int64(nchunks) + chq) * np.int64(nb + 2) + oq
+                nqo = np.empty(nb, dtype=bool)
+                nqo[0] = True
+                np.not_equal(kqo[1:], kqo[:-1], out=nqo[1:])
+                qo_start = np.flatnonzero(nqo)
+                qo_id = np.cumsum(nqo) - 1
+                idx_in_qo = np.arange(nb, dtype=np.int64) - qo_start[qo_id]
+                step_in_q = (chq * np.int64(nb + 1) + oq) * np.int64(nb + 1) + idx_in_qo // P
         # compact step ids (eviction can leave empty steps) and make them global;
         # the q multiplier must exceed any step_in_q (the fallback path emits
         # sparse ids far above BIG)
@@ -667,12 +721,24 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
 
     variants = [(k, wide) for k in range(8) for wide in (False, True)
                 if ((slab_k == k) & (slab_bucket_wide == wide)).any()]
-    # hardware-measured f64 step cost per depth (v5e slope timing; D=1 includes
-    # the identity-scatter skip) and the dual-kernel tax: ~60ns fixed (extra
-    # operand + pl.when) on every step of a dual bucket, ~300ns (one extra table
-    # build; roughly flat across depths — shallow buckets are latency-bound and
-    # hide part of it, deep ones are throughput-bound) on each MIXED step
-    STEP_NS = (956.0, 1050.0, 820.0, 800.0, 800.0, 800.0, 800.0, 800.0)
+    # Hardware-calibrated cost model (v5e slope timing, boneS10/banded A/B runs;
+    # see PERF_NOTES.md).  Per-step base by depth for position-class buckets
+    # (mask scatter); row-packed buckets pay the one-hot scatter matmuls on top.
+    # The big non-base terms: each x-chunk (re)load ~500ns, each out-tile
+    # writeback ~400ns, each mixed (chunk-pair) step one extra table build
+    # ~350ns, dual buckets ~60ns/step for the extra operand machinery.
+    BASE_CP = (390.0, 456.0, 514.0, 524.0, 534.0, 544.0, 554.0, 564.0)
+    SCATTER_NS = 180.0
+    LOAD_NS = 500.0
+    WB_NS = 400.0
+    MIXED_NS = 350.0
+    DUAL_NS = 60.0
+
+    def step_base(k, cpos):
+        return BASE_CP[k] + (0.0 if (cpos or k == 0) else SCATTER_NS)
+
+    STEP_NS = tuple(step_base(k, False) + 250.0 for k in range(8))  # coarse, for
+    # the copies-candidate pre-screen only (loads/wb dominate the real choice)
     base_copies = copies
 
     def run_config(merge_all):
@@ -690,9 +756,25 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
             eff = 0.0
             for k, wide in variants:
                 sel = np.flatnonzero((slab_k == k) & (slab_bucket_wide == wide))
-                pk = pack_variant(sel, 128 >> k, occ_c, out_c, c, merge_all)
-                packs.append((k, wide, pk))
-                eff += pk[3]
+                P_k = 128 >> k
+                if k == 0:
+                    # depth-1: class == output row (P == ROUT) — the pinning is
+                    # free (it subsumes row uniqueness exactly), always on
+                    pk = pack_variant(sel, P_k, occ_c, out_c, c, merge_all, True)
+                    packs.append((k, wide, pk, True))
+                    eff += pk[3]
+                    continue
+                pk_r = pack_variant(sel, P_k, occ_c, out_c, c, merge_all, False)
+                pk_c = pack_variant(sel, P_k, occ_c, out_c, c, merge_all, True)
+                cost_r = pk_r[3] * step_base(k, False)
+                cost_c = pk_c[3] * step_base(k, True)
+                fc = os.environ.get("SPMV_TPU_FORCE_CPOS")  # A/B + test tooling
+                if fc == "1" or (fc != "0" and cost_c < cost_r):
+                    packs.append((k, wide, pk_c, True))
+                    eff += cost_c / step_base(k, False)
+                else:
+                    packs.append((k, wide, pk_r, False))
+                    eff += pk_r[3]
             # output tiles cost ~0.8 step-equivalents each (2*ROUT*128*4B writes
             # vs ~164KB slab reads per step)
             score = eff + 0.8 * nout_c
@@ -703,24 +785,37 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         sb_var = np.full(nslabs, -1, dtype=np.int64)
         sb_step = np.full(nslabs, -1, dtype=np.int64)
         sb_pos = np.full(nslabs, -1, dtype=np.int64)
-        for vi, (k, wide, (sq, step_of, pos_of, nsteps)) in enumerate(packs):
+        for vi, (k, wide, (sq, step_of, pos_of, nsteps), cpos) in enumerate(packs):
             sb_var[sq] = vi
             sb_step[sq] = step_of
-            sb_pos[sq] = pos_of
+            if cpos:
+                # pin position to the class NOW (before absorption — its free
+                # lists and swap chains must see the real position layout)
+                sb_pos[sq] = ((slab_rb[sq] % trb) * c + scopy[sq]) % np.int64(128 >> k)
+            else:
+                sb_pos[sq] = pos_of
         if not os.environ.get("SPMV_TPU_NO_ABSORB"):
             _absorb_remainders(packs, [merge_all] * len(packs), sb_var, sb_step,
                                sb_pos, scopy, slab_rb, slab_chunk,
                                (slab_rb // trb).astype(np.int64), slab_wide,
                                trb, c, nslabs)
-        cost = 0.8 * nout_c * 800.0
-        for vi, (k, wide, _pk) in enumerate(packs):
+        cost = 0.0
+        out_all = (slab_rb // trb).astype(np.int64)
+        for vi, (k, wide, _pk, cpos) in enumerate(packs):
             mine = np.flatnonzero(sb_var == vi)
             if not len(mine):
                 continue
             stp = sb_step[mine]
             ns = len(np.unique(stp))
-            n_mixed = max(0, len(np.unique(stp * np.int64(nchunks) + slab_chunk[mine])) - ns)
-            cost += ns * (STEP_NS[k] + (60.0 if n_mixed else 0.0)) + n_mixed * 300.0
+            n_pairs = len(np.unique(stp * np.int64(nchunks) + slab_chunk[mine]))
+            n_mixed = max(0, n_pairs - ns)
+            # chunk loads ~ distinct (out, chunk) pairs of the bucket (Belady
+            # reuse across adjacent outs makes this slightly pessimistic for
+            # merged plans, slightly optimistic for repeat visits)
+            loads = len(np.unique(out_all[mine] * np.int64(nchunks) + slab_chunk[mine]))
+            wb = len(np.unique(out_all[mine]))
+            cost += (ns * (step_base(k, cpos) + (DUAL_NS if n_mixed else 0.0))
+                     + n_mixed * MIXED_NS + loads * LOAD_NS + wb * WB_NS)
         return cost, (c, trb, nout_c, occ_c, out_c, packs, scopy,
                       sb_var, sb_step, sb_pos)
 
@@ -739,7 +834,7 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
     buckets_out: List[SwellBucket] = []
     padded_slots = 0
     total_steps = 0
-    for vi, (k, wide, _pk) in enumerate(packs):
+    for vi, (k, wide, _pk, cpos) in enumerate(packs):
         D = 1 << k
         P = 128 // D
         mine = np.flatnonzero(sb_var == vi)
@@ -748,13 +843,8 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         # dense step renumber (absorption kills steps) preserving (out, step) order
         uniq_st, dense = np.unique(sb_step[mine], return_inverse=True)
         nsteps = len(uniq_st)
-        if k == 0:
-            # depth-1 buckets have P == 128 == output-tile rows, so pin each
-            # slab's position to its OUTPUT ROW: the scatter matrix becomes the
-            # identity and the kernel skips the scatter matmuls entirely
-            # (measured -344ns of a 1429ns step).  Uniqueness holds because the
-            # packing already guarantees <=1 slab per output row per step.
-            sb_pos[mine] = (slab_rb[mine] % tile_rb) * copies + slab_copy[mine]
+        # (position-class buckets had sb_pos pinned to outrow % P inside
+        # run_config, before absorption; absorbed slabs got theirs in commit)
         # per-slab (global index) step/pos for the nnz scatter
         slab_step = np.empty(nslabs, dtype=np.int64)
         slab_pos = np.empty(nslabs, dtype=np.int64)
@@ -844,10 +934,18 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         first[0] = 1
         first[1:] = (outsel[1:] != outsel[:-1]).astype(np.int32)
 
+        rbrow_vals = ((slab_rb[sq] % tile_rb) * copies + slab_copy[sq]).astype(np.int32)
+        # position uniqueness: a collision would silently overwrite rbvec and
+        # double-book value slots (classpos once hit this via a class-blind
+        # fallback packer)
+        assert len(np.unique(step_of * np.int64(128) + pos_of)) == len(sq), \
+            "slab position collision within a step"
         rbvec = np.full((nsteps, 128), -1, dtype=np.int32)
-        rbvec[step_of, pos_of] = (
-            (slab_rb[sq] % tile_rb) * copies + slab_copy[sq]
-        ).astype(np.int32)
+        rbvec[step_of, pos_of] = rbrow_vals
+        # occupancy-by-output-row (for the position-class mask scatter): lane r
+        # is 1 iff the step has a slab targeting out row r
+        occrow = np.zeros((nsteps, 128), dtype=np.int32)
+        occrow[step_of, rbrow_vals] = 1
 
         # dual one-hot per slab POSITION: rows [0,P) select the window's aligned
         # table row A (= slab_w); for wide buckets rows [BOFF, BOFF+P) select row
@@ -882,8 +980,9 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
 
         buckets_out.append(
             SwellBucket(
-                depth=D, wide=wide, nsteps=nsteps, values=vals, lidx=lidx,
-                onehot=onehot, rbvec=rbvec, chunksel=chunksel,
+                depth=D, wide=wide, classpos=bool(cpos), nsteps=nsteps,
+                values=vals, lidx=lidx, onehot=onehot, rbvec=rbvec,
+                occrow=occrow, chunksel=chunksel,
                 chunkselb=chunkselb, hasb=hasb, outsel=outsel,
                 first=first, touched=touched, nnz=len(esel),
             )
