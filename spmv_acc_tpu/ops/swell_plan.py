@@ -728,14 +728,25 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
     # writeback ~400ns, each mixed (chunk-pair) step one extra table build
     # ~350ns, dual buckets ~60ns/step for the extra operand machinery.
     BASE_CP = (390.0, 456.0, 514.0, 524.0, 534.0, 544.0, 554.0, 564.0)
-    SCATTER_NS = 180.0
     LOAD_NS = 500.0
     WB_NS = 400.0
     MIXED_NS = 350.0
     DUAL_NS = 60.0
 
     def step_base(k, cpos):
-        return BASE_CP[k] + (0.0 if (cpos or k == 0) else SCATTER_NS)
+        # Per-depth extras, fit to ALL hardware runs: the row-pack scatter
+        # matmuls contract over K=P so their cost shrinks with depth
+        # (min(180, 6P)); the classpos mask path is latency-hidden while
+        # P >= 16 (boneS10 D=2..8 classpos measured 584-653ns, clearly under
+        # row-pack), but at P <= 8 the fold leaves no slack and the row scatter
+        # is tiny anyway, so deep buckets must stay row-packed (TSOPF D>=16
+        # classpos lost 10% end-to-end).
+        P_k = 128 >> k
+        if k == 0:
+            return BASE_CP[k]
+        if cpos:
+            return BASE_CP[k] + (0.0 if P_k >= 16 else 1e9)
+        return BASE_CP[k] + min(180.0, 6.0 * P_k)
 
     STEP_NS = tuple(step_base(k, False) + 250.0 for k in range(8))  # coarse, for
     # the copies-candidate pre-screen only (loads/wb dominate the real choice)
