@@ -581,6 +581,7 @@ class _DeviceSwellPlan:
                     wide=bk.wide,
                     dual=bool(bk.hasb.any()),
                     classpos=bk.classpos,
+                    allout=bool(bk.touched.all()),
                     packed=jnp.asarray(_pack_bucket(bk, vals, log2d)),
                     csel=jnp.asarray(bk.chunksel),
                     cselb=jnp.asarray(bk.chunkselb),
@@ -681,7 +682,8 @@ def _statics(dp: _DeviceSwellPlan, interp: bool):
     return (
         bool(dp.dtype == np.float64), bool(interp), p.nout, p.nchunks,
         p.copies, p.tile_rb, p.rows, p.delta,
-        tuple((b["log2d"], b["wide"], b["dual"], b["classpos"]) for b in dp.buckets),
+        tuple((b["log2d"], b["wide"], b["dual"], b["classpos"], b["allout"])
+              for b in dp.buckets),
     )
 
 
@@ -744,7 +746,7 @@ def swell_ax(bargs, tail, x, statics):
     else:
         chunks = _prep_x_pure(x, nchunks, is64, native=interp, delta=delta)
         total = None
-        for ba, (log2d, wide, dual, classpos) in zip(bargs, log2ds):
+        for ba, (log2d, wide, dual, classpos, allout) in zip(bargs, log2ds):
             if interp:
                 csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
                 o = _call_native_interp(csel, cselb, hasb, osel, first, vals,
@@ -754,15 +756,19 @@ def swell_ax(bargs, tail, x, statics):
                 csel, cselb, hasb, osel, first, packed, touched = ba
                 o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
                               log2d, wide, nout, False, dual, classpos)
-                mask = touched[:, None, None]
-                part = jnp.where(mask, o[:, :ROUT], 0.0).astype(jnp.float64) + jnp.where(
-                    mask, o[:, ROUT:], 0.0
-                ).astype(jnp.float64)
+                if allout:
+                    # every out window written: skip the full-array masking
+                    part = o[:, :ROUT].astype(jnp.float64) + o[:, ROUT:].astype(jnp.float64)
+                else:
+                    mask = touched[:, None, None]
+                    part = jnp.where(mask, o[:, :ROUT], 0.0).astype(jnp.float64) + jnp.where(
+                        mask, o[:, ROUT:], 0.0
+                    ).astype(jnp.float64)
             else:
                 csel, cselb, hasb, osel, first, packed, touched = ba
                 o = _call_f32(csel, cselb, hasb, osel, first, packed, chunks,
                               log2d, wide, nout, False, dual, classpos)
-                part = jnp.where(touched[:, None, None], o, 0.0)
+                part = o if allout else jnp.where(touched[:, None, None], o, 0.0)
             total = part if total is None else total + part
         total = total.reshape(nout, tile_rb, copies, 128).sum(axis=2)
         y = total.reshape(-1)[:rows].astype(out_dt)
