@@ -123,6 +123,23 @@ def dist_cg_solve(
     m, n = part.global_shape
     dtype = b.dtype
 
+    # 1-hop halo exchange when every shard's (padded-coordinate) column span
+    # fits its own x block plus the two neighbors — banded/FEM partitions; the
+    # collective volume then rides ICI at O(3 n / D) per device instead of O(n)
+    import numpy as _np
+
+    _cip = _np.asarray(part.col_idx_padded)
+    _rid = _np.asarray(part.row_ids)
+    use_halo = True
+    for _s in range(D):
+        _live = _rid[_s] < lr
+        if not _live.any():
+            continue
+        _lo, _hi = int(_cip[_s][_live].min()), int(_cip[_s][_live].max())
+        if _lo < (_s - 1) * lr or _hi >= (_s + 2) * lr:
+            use_halo = False
+            break
+
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -131,8 +148,17 @@ def dist_cg_solve(
         check_rep=False,
     )
     def matvec_sm(values, col_idx_padded, row_ids, v_local):
-        x_full = jax.lax.all_gather(v_local, axis, tiled=True)  # (D*lr,) padded coords
-        prod = values[0] * x_full[col_idx_padded[0]]
+        if use_halo:
+            right = [(s, s + 1) for s in range(D - 1)]
+            left = [(s + 1, s) for s in range(D - 1)]
+            xl = jax.lax.ppermute(v_local, axis, right)
+            xr = jax.lax.ppermute(v_local, axis, left)
+            x_halo = jnp.concatenate([xl, v_local, xr])  # (3*lr,)
+            base = (jax.lax.axis_index(axis) - 1) * lr
+            prod = values[0] * x_halo[col_idx_padded[0] - base]
+        else:
+            x_full = jax.lax.all_gather(v_local, axis, tiled=True)  # (D*lr,) padded coords
+            prod = values[0] * x_full[col_idx_padded[0]]
         y_local = jax.ops.segment_sum(
             prod, row_ids[0], num_segments=lr + 1, indices_are_sorted=True
         )[:lr]

@@ -29,7 +29,7 @@ def run_weak_scaling(device_counts, rows_per_device=4096, avg_nnz=16, iters=20, 
     from ..parallel import make_mesh, partition_rows, shard_partitioned, pad_vector
     from ..models.cg import dist_cg_solve
     from ..utils.timer import time_chained
-    from .dist_spmv import dist_spmv_fn
+    from .dist_spmv import dist_spmv_fn, dist_spmv_halo_fn, halo_feasible
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     results = []
@@ -43,7 +43,8 @@ def run_weak_scaling(device_counts, rows_per_device=4096, avg_nnz=16, iters=20, 
         mesh = make_mesh(d)
         part = partition_rows(csr, d, balance=False)
         part = shard_partitioned(part, mesh)
-        run, x_pad = dist_spmv_fn(mesh, part)
+        build = dist_spmv_halo_fn if halo_feasible(part) else dist_spmv_fn
+        run, x_pad = build(mesh, part)
         x = jnp.zeros((d * x_pad,), dtype=csr.values.dtype)
         x = jax.device_put(x.at[: csr.cols].set(1.0), NamedSharding(mesh, P("x")))
 

@@ -98,3 +98,39 @@ def test_dist_cg_solve():
     res = dist_cg_solve(part, bp, mesh, tol=1e-12, max_iters=200)
     x = np.asarray(unpad_vector(part, jax.device_get(res.x)))
     assert np.allclose(x, x_true, atol=1e-8), np.abs(x - x_true).max()
+
+
+@pytest.mark.parametrize("num_shards", [2, 4, 8])
+def test_dist_spmv_halo_matches_golden(num_shards):
+    """1-hop halo exchange (ppermute of neighbor x blocks) vs the CPU golden on
+    a banded matrix, where every shard's column span fits the 3-block window."""
+    from spmv_acc_tpu.formats.generate import banded_csr
+    from spmv_acc_tpu.parallel.dist_spmv import halo_feasible
+
+    csr = banded_csr(4000, bandwidth=9, seed=13, dtype=np.float64)
+    part = partition_rows(csr, num_shards, balance=False)
+    assert halo_feasible(part), "banded partition must admit the halo exchange"
+    mesh = make_mesh(num_shards)
+    part = shard_partitioned(part, mesh)
+    x, _ = random_x_y(csr.shape[1], csr.shape[0], seed=5, dtype=np.float64)
+    y = np.asarray(unpad_y(part, dist_spmv(part, jnp.asarray(x), mesh, halo=True)))
+    golden = host_spmv_plain(*csr.to_numpy()[:3], x)
+    rep = verify_y(y, golden, dtype=np.float64)
+    assert rep.failed_count == 0, rep
+
+
+def test_dist_spmv_halo_infeasible_falls_back():
+    """A matrix with global scatter exceeds the 3-block window; auto mode must
+    fall back to all-gather and still match the golden."""
+    from spmv_acc_tpu.parallel.dist_spmv import halo_feasible
+
+    csr = random_csr(600, 600, 6000, seed=3)
+    part = partition_rows(csr, 8, balance=False)
+    assert not halo_feasible(part)
+    mesh = make_mesh(8)
+    part = shard_partitioned(part, mesh)
+    x, _ = random_x_y(csr.shape[1], csr.shape[0], seed=6, dtype=np.float64)
+    y = np.asarray(unpad_y(part, dist_spmv(part, jnp.asarray(x), mesh)))
+    golden = host_spmv_plain(*csr.to_numpy()[:3], x)
+    rep = verify_y(y, golden, dtype=np.float64)
+    assert rep.failed_count == 0, rep
