@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .xla import axpby_finish, spmm_ell
 
-__all__ = ["spmm_segment", "spmm_ell", "spmm"]
+__all__ = ["spmm_segment", "spmm_ell", "spmm_swell", "spmm"]
 
 
 @functools.partial(jax.jit, static_argnames=("num_rows",))
@@ -28,6 +28,26 @@ def _spmm_segment_core(values, col_idx, row_ids, X, num_rows):
 
 def spmm_segment(alpha, beta, csr, X, Y, plan):
     ax = _spmm_segment_core(csr.values, csr.col_idx, plan.row_ids[: csr.nnz], X, csr.rows)
+    return axpby_finish(alpha, beta, ax, Y)
+
+
+def spmm_swell(alpha, beta, csr, X, Y):
+    """Column-wise SpMM through the swell Pallas kernel: one SpMV pass per RHS
+    column via ``lax.scan`` (plan arrays are loop-invariant; only x changes).
+    On TPU this is the only fast path for large irregular matrices — the
+    XLA gather behind ``spmm_segment`` costs ~140ns/ELEMENT (see PERF_NOTES)."""
+    from .swell import _bucket_args, _interpret, _statics, get_swell_plan, swell_ax
+
+    dp = get_swell_plan(csr, csr.values.dtype)
+    interp = _interpret()
+    bargs = _bucket_args(dp, interp)
+    statics = _statics(dp, interp)
+
+    def col(carry, xcol):
+        return carry, swell_ax(bargs, dp.tail, xcol, statics)
+
+    _, cols = jax.lax.scan(col, 0, X.T)
+    ax = cols.T.astype(csr.values.dtype)
     return axpby_finish(alpha, beta, ax, Y)
 
 
@@ -43,10 +63,17 @@ def spmm(csr, X, Y=None, alpha=1.0, beta=0.0, strategy: str = "adaptive"):
     if strategy == "adaptive":
         s = plan.stats
         regular = s.row_len_cv < 0.5 and s.max_nnz_per_row <= 4 * max(s.avg_nnz_per_row, 1)
-        strategy = "ell" if regular else "segment"
+        if regular:
+            strategy = "ell"
+        elif jax.default_backend() == "tpu":
+            strategy = "swell"  # XLA sparse gather is ~140ns/element on TPU
+        else:
+            strategy = "segment"
     if strategy == "ell":
         ell = _get_ell(csr, plan.tune)
         return spmm_ell(alpha, beta, ell, X, Y, csr.rows)
     if strategy == "segment":
         return spmm_segment(alpha, beta, csr, X, Y, plan)
+    if strategy == "swell":
+        return spmm_swell(alpha, beta, csr, X, Y)
     raise ValueError(f"unknown spmm strategy {strategy!r}")

@@ -30,7 +30,7 @@ def _spd_csr(m=40, seed=0):
     return CSR.from_numpy(rp2, ci2, v2, shape)
 
 
-@pytest.mark.parametrize("strategy", ["ell", "segment", "adaptive"])
+@pytest.mark.parametrize("strategy", ["ell", "segment", "swell", "adaptive"])
 def test_spmm_matches_golden(strategy):
     csr = random_csr(60, 50, 600, seed=31)
     rng = np.random.default_rng(5)
