@@ -568,12 +568,8 @@ class _DeviceSwellPlan:
         self.tail = (jnp.asarray(plan.tail_rows), jnp.asarray(plan.tail_ci), jnp.asarray(tv))
         self.buckets = []
         for bk in plan.buckets:
-            if self.dtype == np.float64:
-                vh = bk.values.astype(np.float32)
-                vl = (bk.values - vh.astype(np.float64)).astype(np.float32)
-                vals = (vh, vl)
-            else:
-                vals = (bk.values.astype(np.float32),)
+            # the plan materializes the f32 hi/lo planes directly
+            vals = (bk.vh, bk.vl) if self.dtype == np.float64 else (bk.vh,)
             log2d = int(np.log2(bk.depth))
             self.buckets.append(
                 dict(

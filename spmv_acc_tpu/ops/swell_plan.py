@@ -59,7 +59,8 @@ class SwellBucket:
     wide: bool                 # any in-window index >= 128 (B table row needed)
     classpos: bool             # positions pinned to outrow % P: mask scatter
     nsteps: int
-    values: np.ndarray         # (nsteps, 128, 128) source dtype
+    vh: np.ndarray             # (nsteps, 128, 128) f32 — value hi plane (== value for f32)
+    vl: np.ndarray | None      # (nsteps, 128, 128) f32 — value lo plane (f64 source only)
     lidx: np.ndarray           # (nsteps, 128, 128) uint8 — index within the 256-col window
     onehot: np.ndarray         # (nsteps, ohp, 128) int8 — dual window-in-chunk per position;
     #                            value 1 selects from chunk a, value 2 from chunk b
@@ -73,6 +74,15 @@ class SwellBucket:
     first: np.ndarray          # (nsteps,) int32 — 1 on first step of an outsel run
     touched: np.ndarray        # (nout,) bool — out windows this bucket writes
     nnz: int
+
+    @property
+    def values(self) -> np.ndarray:
+        """Source-precision values (reconstructed from the hi/lo planes: the
+        Dekker split guarantees vh + vl == v exactly).  Test/interp helper; the
+        device path consumes vh/vl directly."""
+        if self.vl is None:
+            return self.vh
+        return self.vh.astype(np.float64) + self.vl.astype(np.float64)
 
 
 @dataclasses.dataclass
@@ -976,15 +986,29 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
             onehot[step_of[has_b], boff + pos_of[has_b], w_local[has_b] + 1] = ohv[has_b]
 
         # scatter nnz of this bucket (+variant) — keyed on the slab's FINAL
-        # bucket (absorption may have moved it from its layer's native depth)
+        # bucket (absorption may have moved it from its layer's native depth).
+        # Values scatter DIRECTLY into the device-layout f32 hi/lo planes via a
+        # flat linear index: the f64 intermediate + post-hoc split used to cost
+        # seconds at 40M nnz (hundreds of MB of extra traffic).
         esel = np.flatnonzero(sb_var[slab_of_nnz] == vi)
         e_slab = slab_of_nnz[esel]
-        e_sub = slot_in_slab[esel] * P + slab_pos[e_slab]
-        e_step = slab_step[e_slab]
-        vals = np.zeros((nsteps, 128, 128), dtype=dtype)
-        lidx = np.zeros((nsteps, 128, 128), dtype=np.uint8)
-        vals[e_step, e_sub, lane[esel]] = vk[esel]
-        lidx[e_step, e_sub, lane[esel]] = lc[esel]
+        flat = (slab_step[e_slab] * 128 + slot_in_slab[esel] * P
+                + slab_pos[e_slab]) * 128 + lane[esel]
+        is64 = np.dtype(dtype) == np.float64
+        ve = vk[esel]
+        vhe = ve.astype(np.float32)
+        vh = np.zeros(nsteps * 128 * 128, dtype=np.float32)
+        vh[flat] = vhe
+        vh = vh.reshape(nsteps, 128, 128)
+        if is64:
+            vl = np.zeros(nsteps * 128 * 128, dtype=np.float32)
+            vl[flat] = (ve - vhe.astype(np.float64)).astype(np.float32)
+            vl = vl.reshape(nsteps, 128, 128)
+        else:
+            vl = None
+        lidx = np.zeros(nsteps * 128 * 128, dtype=np.uint8)
+        lidx[flat] = lc[esel]
+        lidx = lidx.reshape(nsteps, 128, 128)
 
         touched = np.zeros(nout, dtype=bool)
         touched[outsel] = True
@@ -992,7 +1016,7 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         buckets_out.append(
             SwellBucket(
                 depth=D, wide=wide, classpos=bool(cpos), nsteps=nsteps,
-                values=vals, lidx=lidx, onehot=onehot, rbvec=rbvec,
+                vh=vh, vl=vl, lidx=lidx, onehot=onehot, rbvec=rbvec,
                 occrow=occrow, chunksel=chunksel,
                 chunkselb=chunkselb, hasb=hasb, outsel=outsel,
                 first=first, touched=touched, nnz=len(esel),
