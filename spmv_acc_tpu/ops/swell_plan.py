@@ -762,11 +762,24 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
     # the copies-candidate pre-screen only (loads/wb dominate the real choice)
     base_copies = copies
 
-    def run_config(merge_all):
+    PERCALL_NS = 3000.0  # fixed dispatch/epilogue cost per bucket pallas_call
+
+    def run_config(merge_all, collapse=False):
         """Pack (best `copies` candidate) + absorb for one chunk-merge policy;
         returns the post-absorption modeled cost (ns) and all placement state.
         Chunk merging and absorption interact (absorption's biggest kills need
-        the chunk-pair freedom), so the policies are compared END-TO-END."""
+        the chunk-pair freedom), so the policies are compared END-TO-END.
+
+        ``collapse``: pack EVERY slab into one bucket at the max depth (shallow
+        slabs zero-pad their trailing slots) — for tiny matrices the ~3us fixed
+        cost per extra pallas call dwarfs the slot waste."""
+        if collapse:
+            vlist = [(int(slab_k.max()), bool(slab_wide.any()),
+                      np.arange(nslabs, dtype=np.int64))]
+        else:
+            vlist = [(k, wide,
+                      np.flatnonzero((slab_k == k) & (slab_bucket_wide == wide)))
+                     for k, wide in variants]
         cands = sorted({base_copies} | ({base_copies * 2} if base_copies * 2 <= 8 else set()))
         bst = None
         for c in cands:
@@ -775,8 +788,7 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
             occ_c, out_c = occ_for(trb, nout_c)
             packs = []
             eff = 0.0
-            for k, wide in variants:
-                sel = np.flatnonzero((slab_k == k) & (slab_bucket_wide == wide))
+            for k, wide, sel in vlist:
                 P_k = 128 >> k
                 if k == 0:
                     # depth-1: class == output row (P == ROUT) — the pinning is
@@ -836,7 +848,8 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
             loads = len(np.unique(out_all[mine] * np.int64(nchunks) + slab_chunk[mine]))
             wb = len(np.unique(out_all[mine]))
             cost += (ns * (step_base(k, cpos) + (DUAL_NS if n_mixed else 0.0))
-                     + n_mixed * MIXED_NS + loads * LOAD_NS + wb * WB_NS)
+                     + n_mixed * MIXED_NS + loads * LOAD_NS + wb * WB_NS
+                     + PERCALL_NS)
         return cost, (c, trb, nout_c, occ_c, out_c, packs, scopy,
                       sb_var, sb_step, sb_pos)
 
@@ -848,7 +861,14 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
     else:
         cost_m, state_m = run_config(True)
         cost_s, state_s = run_config(False)
-        state = state_m if cost_m < cost_s else state_s
+        cost_b, state = ((cost_m, state_m) if cost_m < cost_s else (cost_s, state_s))
+        if nslabs <= 8192 and not os.environ.get("SPMV_TPU_NO_ABSORB"):
+            # tiny plans: a single collapsed bucket can beat per-depth buckets
+            # on fixed per-call costs alone (gated with the other plan
+            # canonicalization passes for the analyze-equivalence tests)
+            cost_c, state_c = run_config(False, collapse=True)
+            if cost_c < cost_b:
+                state = state_c
     (copies, tile_rb, nout, slab_occ, slab_out, packs, slab_copy,
      sb_var, sb_step, sb_pos) = state
 
