@@ -169,3 +169,50 @@ def test_native_analyze_matches_numpy():
                                      slot[keep].astype(np.int64),
                                      lc[keep].astype(np.int64)))
         assert (nat_key2 == np_key).all()
+
+
+@pytest.mark.parametrize("force", ["0", "1"])
+def test_packed_kernel_structure_interpret(force):
+    """Run the PACKED TPU kernels in interpret mode against the native-dtype
+    reference with a loose tolerance.  Interpret mode evaluates with excess
+    precision (so compensated-f32 ACCURACY cannot be asserted here — that is
+    hardware-validated), but any slab/position/mask placement corruption shows
+    up as O(1) errors: the class-blind fallback packer bug produced maxabs ~30
+    on TSOPF and was invisible to the native-path tests."""
+    import os
+
+    import jax.numpy as jnp
+
+    from spmv_acc_tpu.formats.generate import fem_like_csr
+    from spmv_acc_tpu.ops.swell import (ROUT, _bucket_args, _call_f64,
+                                        _call_native_interp, _prep_x_pure,
+                                        _statics, get_swell_plan)
+
+    csr = fem_like_csr(2000, 2000, 300000, block=16, spread_frac=0.02, seed=11,
+                       dtype=np.float64)
+    os.environ["SPMV_TPU_FORCE_CPOS"] = force
+    try:
+        dp = get_swell_plan(csr, np.float64)
+    finally:
+        del os.environ["SPMV_TPU_FORCE_CPOS"]
+    st = _statics(dp, False)
+    log2ds = st[-1]
+    nout, nchunks, delta = st[2], st[3], st[7]
+    x, _ = random_x_y(csr.shape[1], csr.shape[0], seed=9, dtype=np.float64)
+    chunks_tpu = _prep_x_pure(jnp.asarray(x), nchunks, True, native=False, delta=delta)
+    chunks_nat = _prep_x_pure(jnp.asarray(x), nchunks, True, native=True, delta=delta)[0]
+    bt_all = _bucket_args(dp, False)
+    bn_all = _bucket_args(dp, True)
+    assert bt_all, "plan must have buckets"
+    for bt, bn, (l2d, wide, dual, cpos, allout) in zip(bt_all, bn_all, log2ds):
+        csel, cselb, hasb, osel, first, packed, touched = bt
+        o = np.asarray(_call_f64(csel, cselb, hasb, osel, first, packed,
+                                 chunks_tpu, l2d, wide, nout, True, dual, cpos))
+        got = o[:, :ROUT].astype(np.float64) + o[:, ROUT:].astype(np.float64)
+        ci_, cib, hb, osel_i, first_i, vals, lidx, oh, rbvec, touched_i = bn
+        ref = np.asarray(_call_native_interp(ci_, cib, hb, osel_i, first_i, vals,
+                                             lidx, oh, rbvec, chunks_nat, l2d,
+                                             wide, nout))
+        scale = max(np.abs(ref).max(), 1.0)
+        assert np.abs(got - ref).max() / scale < 1e-4, \
+            f"structure mismatch in D={1 << l2d} cpos={cpos} bucket"
