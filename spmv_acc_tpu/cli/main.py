@@ -104,6 +104,14 @@ def test_spmv(args) -> int:
     elapsed = timer.stop()
     print(f"{args.file} elapsed time: {elapsed:.1f}(us)  [strategy: {handle.strategy_used}]")
 
+    # rerun for the verified result (cli/main.cpp:116-118): the EAGER path also
+    # applies the near-zero cancellation refinement that the fused timed
+    # program cannot (host recompute of rows whose products cancel past the
+    # two-f32 floor — see ops/swell._refine_cancellation)
+    hy = np.asarray(
+        spmv(csr, dx, dy, alpha=args.alpha, beta=args.beta, strategy=chosen)
+    )
+
     if args.device_verify:
         # device-side golden: the XLA-native segment-sum strategy on the SAME
         # device (the reference verifies against rocSPARSE's independent device
