@@ -875,6 +875,7 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
     buckets_out: List[SwellBucket] = []
     padded_slots = 0
     total_steps = 0
+    nnz_var = sb_var[slab_of_nnz]  # hoisted: one nnz-sized gather, not one per bucket
     for vi, (k, wide, _pk, cpos) in enumerate(packs):
         D = 1 << k
         P = 128 // D
@@ -1010,7 +1011,7 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
         # Values scatter DIRECTLY into the device-layout f32 hi/lo planes via a
         # flat linear index: the f64 intermediate + post-hoc split used to cost
         # seconds at 40M nnz (hundreds of MB of extra traffic).
-        esel = np.flatnonzero(sb_var[slab_of_nnz] == vi)
+        esel = np.flatnonzero(nnz_var == vi)
         e_slab = slab_of_nnz[esel]
         flat = (slab_step[e_slab] * 128 + slot_in_slab[esel] * P
                 + slab_pos[e_slab]) * 128 + lane[esel]
