@@ -47,7 +47,7 @@ from spmv_acc_tpu.utils.stats import (  # noqa: E402
 )
 from spmv_acc_tpu.utils.verify import verify_y  # noqa: E402
 
-SMALL = ["rajat03", "poli_large", "dw4096", "bayer10", "epb1", "bcsstk18", "coater2", "nemeth03", "af23560"]
+SMALL = ["rajat03", "poli_large", "dw4096", "bayer10", "epb1", "bcsstk18", "coater2", "nemeth03", "exdata_1", "af23560"]
 LARGE = ["largebasis", "Ga41As41H72", "TSOPF_RS_b2383", "boneS10", "Hardesty3"]
 DTYPE = np.float64
 BASELINE_ROOFLINE = 0.80
