@@ -76,6 +76,20 @@ def bench_matrix(name: str, log):
     hy = np.asarray(out)
     golden = host_spmv(1.0, 1.0, *csr.to_numpy()[:3], x, y0)
     rep = verify_y(hy, golden, dtype=DTYPE)
+    # the timed loop below runs the RAW kernel (no cancellation refinement);
+    # verify that artifact against the same gate so the timing and the verdict
+    # describe the same computation (advisor round-1 finding).  The refined
+    # eager result above is the public-API contract; both are reported.
+    rep_raw = rep
+    if handle.strategy_used == "swell":
+        import os as _os
+
+        _os.environ["SPMV_TPU_NO_REFINE"] = "1"
+        try:
+            raw = np.asarray(spmv(csr, dx, dy, alpha=1.0, beta=1.0, strategy="swell"))
+        finally:
+            _os.environ.pop("SPMV_TPU_NO_REFINE", None)
+        rep_raw = verify_y(raw, golden, dtype=DTYPE)
     t_first = time.perf_counter() - t0
 
     # timing: on-device loop (swell path when chosen; dominant on TPU)
@@ -126,11 +140,11 @@ def bench_matrix(name: str, log):
     print(
         f"  {name}: {per_us:.1f}us  {gbs:.1f} GB/s  {gflops:.2f} GFLOP/s  "
         f"roofline={frac:.3f}  fill={fill:.3f}  gen={t_gen:.0f}s first={t_first:.0f}s  "
-        f"verify={'OK' if rep.ok else 'FAIL'}",
+        f"verify={'OK' if rep.ok else 'FAIL'} raw={'OK' if rep_raw.ok else 'FAIL'}",
         file=log,
         flush=True,
     )
-    return frac, gflops, rep.ok
+    return frac, gflops, rep.ok, rep_raw.ok
 
 
 def geomean(vals):
@@ -143,11 +157,13 @@ def main():
     print(f"device: {dev} ({dev.device_kind}), peak {chip_peak_gbs():.0f} GB/s", file=log, flush=True)
     results = {}
     all_ok = True
+    raw_ok = True
     for name in SMALL + LARGE:
         try:
-            frac, gf, ok = bench_matrix(name, log)
+            frac, gf, ok, rok = bench_matrix(name, log)
             results[name] = (frac, gf)
             all_ok &= ok
+            raw_ok &= rok
         except Exception as e:  # keep the harness robust (csr_spmv.hpp:52-62 analog)
             print(f"  {name}: ERROR {type(e).__name__}: {e}", file=log, flush=True)
             all_ok = False
@@ -166,13 +182,21 @@ def main():
     if not large_fracs and not small_fracs:
         print(json.dumps({"metric": "spmv_roofline_fraction", "value": 0.0, "unit": "fraction", "vs_baseline": 0.0}))
         return 1
-    headline = geomean(large_fracs) if large_fracs else geomean(small_fracs)
+    # the metric name must describe what was actually computed: a silent
+    # small-set fallback under the large-set name would mislead (advisor finding)
+    if large_fracs:
+        headline = geomean(large_fracs)
+        metric = "spmv_roofline_fraction_f64_geomean_large_set"
+    else:
+        headline = geomean(small_fracs)
+        metric = "spmv_roofline_fraction_f64_geomean_SMALL_SET_FALLBACK_large_set_failed"
     result = {
-        "metric": "spmv_roofline_fraction_f64_geomean_large_set",
+        "metric": metric,
         "value": round(headline, 4),
         "unit": "fraction_of_HBM_speed_of_light",
         "vs_baseline": round(headline / BASELINE_ROOFLINE, 4),
         "verify_all_pass": bool(all_ok),
+        "verify_raw_kernel_all_pass": bool(raw_ok),
         "small_set_geomean": round(geomean(small_fracs), 4),
         "gflops_geomean_large": round(geomean([results[n][1] for n in LARGE if n in results]), 2),
         "corpus": len(results),

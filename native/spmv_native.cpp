@@ -198,6 +198,11 @@ int64_t swell_analyze(const int64_t* rp, const int32_t* ci, int64_t m,
   // slab ids; slab records go to per-block vectors.
   std::vector<std::vector<SlabRec>> blk_slabs(nblocks);
   (void)num_threads;
+  // set when a (row, window) holds >256 nnz — only possible with duplicate
+  // columns in a row, which the slot/half encodings cannot represent (slot
+  // would exceed 255 and gid2 = inst*2+half would alias the next instance).
+  // Callers fall back to a path that validates input.
+  volatile int32_t dup_overflow = 0;
 #if defined(_OPENMP)
 #pragma omp parallel
 #endif
@@ -261,7 +266,11 @@ int64_t swell_analyze(const int64_t* rp, const int32_t* ci, int64_t m,
         uint8_t wd = 0;
         for (; i < bn && colb[order[i]] < bound; ++i) {
           const int64_t j = order[i];
-          const int32_t slot = cnt[laneb[j]]++;  // <= 255 (<=256 distinct cols/window)
+          const int32_t slot = cnt[laneb[j]]++;  // <= 255 iff cols unique per row
+          if (slot > 255) {
+            dup_overflow = 1;
+            continue;  // keep scanning so the loop terminates cleanly
+          }
           const int32_t half = slot >> 7;
           const int32_t s7 = slot & 127;
           nz_gid2[j] = inst * 2 + half;
@@ -308,6 +317,7 @@ int64_t swell_analyze(const int64_t* rp, const int32_t* ci, int64_t m,
       }
     }
   }
+  if (dup_overflow) return -1;
   // phase B: prefix over blocks, copy slab records, fix up per-nnz slab ids
   std::vector<int64_t> base(nblocks + 1, 0);
   for (int64_t b = 0; b < nblocks; ++b) base[b + 1] = base[b] + blk_nslabs[b];
@@ -333,6 +343,6 @@ int64_t swell_analyze(const int64_t* rp, const int32_t* ci, int64_t m,
 }
 
 // Version marker for the ctypes loader.
-int32_t spmv_native_abi_version() { return 2; }
+int32_t spmv_native_abi_version() { return 3; }
 
 }  // extern "C"

@@ -26,14 +26,31 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
+_ABI_VERSION = 3
+
+
+def _build(force: bool = False) -> bool:
     try:
-        r = subprocess.run(
-            ["make", "-C", _NATIVE_DIR, "-s"], capture_output=True, timeout=120
-        )
+        cmd = ["make", "-C", _NATIVE_DIR, "-s"] + (["-B"] if force else [])
+        r = subprocess.run(cmd, capture_output=True, timeout=120)
         return r.returncode == 0 and os.path.exists(_LIB_PATH)
     except Exception:
         return False
+
+
+def _load_fresh():
+    """CDLL via a temp copy: re-CDLL of the same path can return the already-
+    mapped stale handle (same inode, no dlclose), so a rebuilt .so must be
+    loaded under a new path to actually remap."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.NamedTemporaryFile(
+        prefix="spmv_native_", suffix=".so", delete=False
+    )
+    tmp.close()
+    shutil.copy2(_LIB_PATH, tmp.name)
+    return ctypes.CDLL(tmp.name)
 
 
 def get_lib():
@@ -48,13 +65,15 @@ def get_lib():
         try:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.spmv_native_abi_version.restype = ctypes.c_int32
-            if lib.spmv_native_abi_version() != 2:
-                # stale build: rebuild once and reload
-                if not _build():
+            if lib.spmv_native_abi_version() != _ABI_VERSION:
+                # stale build: FORCE the rebuild (plain make won't rebuild when
+                # the stale .so is newer than its sources) and load the fresh
+                # binary under a new path
+                if not _build(force=True):
                     return None
-                lib = ctypes.CDLL(_LIB_PATH)
+                lib = _load_fresh()
                 lib.spmv_native_abi_version.restype = ctypes.c_int32
-                if lib.spmv_native_abi_version() != 2:
+                if lib.spmv_native_abi_version() != _ABI_VERSION:
                     return None
             lib.parse_doubles.restype = ctypes.c_int64
             lib.parse_doubles.argtypes = [

@@ -174,11 +174,41 @@ def _cluster_score(cb, bb, rows_bc) -> int:
     return int(np.maximum.reduceat(cnt[order], ifirst).sum())
 
 
+def _canonicalize(rp, ci, v, m):
+    """Sort each row's columns and sum duplicates.  The slab encodings (uint8
+    slot, gid2 half bit, <=256 nnz per (row, window)) require per-row sorted
+    UNIQUE columns; CSR.from_numpy accepts arbitrary arrays, so malformed input
+    is repaired here rather than silently corrupting the plan."""
+    nnz = int(rp[-1])
+    if nnz == 0:
+        return rp, ci, v
+    row_start = np.zeros(nnz, dtype=bool)
+    row_start[rp[1:-1][rp[1:-1] < nnz]] = True
+    bad = (ci[1:] <= ci[:-1]) & ~row_start[1:]
+    if not bad.any():
+        return rp, ci, v
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(rp))
+    order = np.lexsort((ci, rows))
+    rs, cs, vs = rows[order], ci[order], v[order]
+    key_new = np.ones(nnz, dtype=bool)
+    key_new[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+    starts = np.flatnonzero(key_new)
+    uid = np.cumsum(key_new) - 1
+    v2 = np.zeros(len(starts), dtype=np.float64)
+    np.add.at(v2, uid, vs.astype(np.float64))
+    r2, c2 = rs[starts], cs[starts]
+    rp2 = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(rp2, r2 + 1, 1)
+    np.cumsum(rp2, out=rp2)
+    return rp2, c2, v2.astype(v.dtype)
+
+
 def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     rp = np.asarray(row_ptr, dtype=np.int64)
     ci = np.asarray(col_idx, dtype=np.int64)
     v = np.asarray(values)
     m, n = int(shape[0]), int(shape[1])
+    rp, ci, v = _canonicalize(rp, ci, v, m)
     nnz = int(rp[-1])
     mrb = max(1, -(-m // LANES))
     copies = 1

@@ -51,10 +51,29 @@ __all__ = [
 
 _PACK_CACHE: dict = {}
 
+# Padded-width cap: without it one dense row makes the pack O(m * n) (the
+# load-imbalance case LIGHT exists for in the reference,
+# hip-thread-row/thread_row.cpp:17-49 gates on avg<=4 and falls back).  Rows
+# longer than the cap spill their excess nnz into a COO tail handled by an
+# exact segment-sum — the TPU analog of the reference's long-row fallback.
+_WIDTH_CAP = 512
+# only bother spilling when the dense pack would actually be large
+_SPILL_MIN_CELLS = 1 << 24
+
+
+def _empty_tail(dtype):
+    return (
+        jnp.zeros((0,), jnp.int32),
+        jnp.zeros((0,), jnp.int32),
+        jnp.zeros((0,), dtype),
+    )
+
 
 def _row_packed(csr, width_unit: int):
     """Pad each row to a multiple of ``width_unit`` slots; returns
-    (cols (m, k*W) int32, vals (m, k*W)) with zero padding (col 0, val 0)."""
+    (cols (m, W) int32, vals (m, W), tail) with zero padding (col 0, val 0).
+    ``tail = (rows, col_idx, values)`` holds the spilled nnz of rows longer than
+    the width cap (empty for bounded-width matrices)."""
     key = (id(csr.row_ptr), csr.shape, csr.nnz, "pack", width_unit, str(csr.values.dtype))
     hit = _PACK_CACHE.get(key)
     if hit is not None and hit[0] is csr.row_ptr:
@@ -63,15 +82,34 @@ def _row_packed(csr, width_unit: int):
     lens = np.diff(rp)
     maxlen = max(int(lens.max()) if m else 1, 1)
     width = max(width_unit, -(-maxlen // width_unit) * width_unit)
-    cols = np.zeros((m, width), dtype=np.int32)
-    vals = np.zeros((m, width), dtype=v.dtype)
+    tail = _empty_tail(v.dtype)
+    if width > _WIDTH_CAP and m * width > _SPILL_MIN_CELLS:
+        width = max(width_unit, _WIDTH_CAP // width_unit * width_unit)
     rows = np.repeat(np.arange(m), lens)
     slots = np.arange(len(rows)) - np.repeat(rp[:-1], lens)
+    over = slots >= width
+    if over.any():
+        tail = (
+            jnp.asarray(rows[over].astype(np.int32)),
+            jnp.asarray(ci[over].astype(np.int32)),
+            jnp.asarray(v[over]),
+        )
+        keep = ~over
+        rows, slots, ci, v = rows[keep], slots[keep], ci[keep], v[keep]
+    cols = np.zeros((m, width), dtype=np.int32)
+    vals = np.zeros((m, width), dtype=v.dtype)
     cols[rows, slots] = ci
     vals[rows, slots] = v
-    out = (jnp.asarray(cols), jnp.asarray(vals))
+    out = (jnp.asarray(cols), jnp.asarray(vals), tail)
     _PACK_CACHE[key] = (csr.row_ptr, out)
     return out
+
+
+def _add_tail(ax, tail, x, m):
+    trows, tci, tv = tail
+    if trows.shape[0] == 0:
+        return ax
+    return ax + jax.ops.segment_sum(tv * x[tci], trows, num_segments=m)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -91,24 +129,27 @@ def spmv_thread_row(alpha, beta, csr, x, y, plan=None):
     """Row-per-lane (THREAD_ROW analog, hip-thread-row/thread_row.inl:17-98).
     Best when rows are uniformly ultra-short (the reference gates on avg<=4,
     thread_row.cpp:17-49)."""
-    cols, vals = _row_packed(csr, 1)
-    return axpby_finish(alpha, beta, _reduce_flat(cols, vals, x), y)
+    cols, vals, tail = _row_packed(csr, 1)
+    ax = _add_tail(_reduce_flat(cols, vals, x), tail, x, csr.rows)
+    return axpby_finish(alpha, beta, ax, y)
 
 
 def spmv_wf_row(alpha, beta, csr, x, y, plan=None):
     """Row-per-sublane-group (WF_ROW analog, hip-wf-row/wavefront_row_default.hpp:48-92):
     each row's slots are strided over an 8-wide group, reduced in two stages like the
     wavefront's strided loads + shuffle tree."""
-    cols, vals = _row_packed(csr, 8)
-    return axpby_finish(alpha, beta, _reduce_staged(cols, vals, x, 8), y)
+    cols, vals, tail = _row_packed(csr, 8)
+    ax = _add_tail(_reduce_staged(cols, vals, x, 8), tail, x, csr.rows)
+    return axpby_finish(alpha, beta, ax, y)
 
 
 def spmv_block_row(alpha, beta, csr, x, y, plan=None):
     """Row-per-VPU-row (BLOCK_ROW_ORDINARY analog,
     hip-block-row-ordinary/spmv_hip_acc_imp.cpp:16-75): all 128 lanes stride one row,
     then a tree reduce — profitable only for long rows, exactly like the original."""
-    cols, vals = _row_packed(csr, 128)
-    return axpby_finish(alpha, beta, _reduce_staged(cols, vals, x, 128), y)
+    cols, vals, tail = _row_packed(csr, 128)
+    ax = _add_tail(_reduce_staged(cols, vals, x, 128), tail, x, csr.rows)
+    return axpby_finish(alpha, beta, ax, y)
 
 
 # LightSpMV vector-size thresholds from avg nnz/row (hip-light/light_spmv.cpp:16-42)
@@ -127,10 +168,12 @@ def spmv_light(alpha, beta, csr, x, y, plan=None):
         if avg <= thresh:
             w = cand
             break
-    cols, vals = _row_packed(csr, w)
+    cols, vals, tail = _row_packed(csr, w)
     if w == 1:
-        return axpby_finish(alpha, beta, _reduce_flat(cols, vals, x), y)
-    return axpby_finish(alpha, beta, _reduce_staged(cols, vals, x, w), y)
+        ax = _reduce_flat(cols, vals, x)
+    else:
+        ax = _reduce_staged(cols, vals, x, w)
+    return axpby_finish(alpha, beta, _add_tail(ax, tail, x, csr.rows), y)
 
 
 ROUND_NNZ = 1 << 16

@@ -98,6 +98,28 @@ def test_float32_path():
     assert rep.ok, rep
 
 
+@pytest.mark.parametrize("strategy", ["thread_row", "wf_row", "block_row", "light"])
+def test_zoo_dense_row_spill(strategy):
+    """A single 100k-nnz row must NOT make the zoo pack O(m * 100k): rows past
+    the width cap spill to a COO tail (the reference's long-row fallback spirit,
+    hip-thread-row/thread_row.cpp:17-49), and results still match golden."""
+    csr = dense_row_outlier_csr(1000, 200_000, avg_nnz=3, n_dense=1, seed=21)
+    m, n = csr.shape
+    assert int(np.diff(csr.to_numpy()[0]).max()) >= 100_000  # the outlier row
+
+    from spmv_acc_tpu.ops.zoo import _WIDTH_CAP, _row_packed
+
+    cols, vals, tail = _row_packed(csr, 8)
+    assert cols.shape[1] <= _WIDTH_CAP, "pack width must be capped"
+    assert tail[0].shape[0] > 0, "outlier nnz must land in the COO tail"
+
+    x, y = random_x_y(n, m, seed=22)
+    golden = host_spmv(1.5, -0.5, *csr.to_numpy()[:3], x, y)
+    out = spmv(csr, jnp.asarray(x), jnp.asarray(y), alpha=1.5, beta=-0.5, strategy=strategy)
+    rep = verify_y(np.asarray(out), golden)
+    assert rep.ok, f"{strategy}: {rep}"
+
+
 def test_make_spmv_fn_retrace_safe():
     """Strategy plan caches must hold real arrays, not tracers: wrapping the
     jitted fn in ANOTHER jit re-traces it, which dies with

@@ -62,6 +62,30 @@ def test_swell_f64_matches_golden(name):
     assert rep.ok, f"{name}: {rep}"
 
 
+def test_plan_canonicalizes_duplicate_columns():
+    """CSR.from_numpy accepts arbitrary arrays; duplicate/unsorted columns in a
+    row would overflow the uint8 slot / half-bit encodings (advisor round-1,
+    native/spmv_native.cpp swell_analyze guard).  The plan must repair such
+    input and still match the golden computed on the raw (duplicate-summing)
+    arrays."""
+    rng = np.random.default_rng(90)
+    m = n = 96
+    rows = np.repeat(np.arange(m), 5).astype(np.int64)
+    cols = rng.integers(0, n, size=len(rows)).astype(np.int64)
+    # force duplicates and disorder in a few rows
+    cols[:5] = [7, 3, 7, 7, 3]
+    vals = rng.standard_normal(len(rows))
+    rp = np.arange(0, 5 * m + 1, 5, dtype=np.int64)
+    from spmv_acc_tpu.formats.containers import CSR
+
+    csr = CSR.from_numpy(rp, cols, vals, (m, n))
+    x, y = random_x_y(n, m, seed=91)
+    golden = host_spmv(1.0, 1.0, rp, cols, vals, x, y)
+    out = spmv_swell(1.0, 1.0, csr, jnp.asarray(x), jnp.asarray(y))
+    rep = verify_y(np.asarray(out), golden)
+    assert rep.ok, rep
+
+
 @pytest.mark.parametrize("name", ["banded", "random", "window_dense"])
 def test_swell_f32(name):
     csr = MATRICES[name]().astype(jnp.float32)
