@@ -342,7 +342,73 @@ int64_t swell_analyze(const int64_t* rp, const int32_t* ci, int64_t m,
   return nslabs;
 }
 
+// ---------------------------------------------------------------------------
+// Aligned r x r micro-block (BSR) condense for the swell BSR path: node-row-
+// parallel r-way merge of the r sorted CSR rows of each node.  Two-phase:
+// bsr_count fills rpb with the exclusive prefix of per-node distinct block-col
+// counts (returns nnzb), bsr_fill writes block cols + r*r cell values per block
+// (vals2d pre-zeroed by the caller; absent cells stay 0, numerically free).
+// ---------------------------------------------------------------------------
+int64_t bsr_count(const int64_t* rp, const int32_t* ci, int64_t m, int32_t r,
+                  int64_t mb, int64_t* rpb) {
+  if (r < 2 || r > 16) return -1;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+  for (int64_t b = 0; b < mb; ++b) {
+    const int64_t r0 = b * r, r1 = std::min<int64_t>(m, r0 + r);
+    const int nr = (int)(r1 - r0);
+    int64_t p[16];
+    for (int k = 0; k < nr; ++k) p[k] = rp[r0 + k];
+    int64_t cnt = 0;
+    for (;;) {
+      int64_t mn = INT64_MAX;
+      for (int k = 0; k < nr; ++k)
+        if (p[k] < rp[r0 + k + 1]) mn = std::min<int64_t>(mn, ci[p[k]] / r);
+      if (mn == INT64_MAX) break;
+      ++cnt;
+      for (int k = 0; k < nr; ++k)
+        while (p[k] < rp[r0 + k + 1] && ci[p[k]] / r == mn) ++p[k];
+    }
+    rpb[b + 1] = cnt;
+  }
+  rpb[0] = 0;
+  for (int64_t b = 0; b < mb; ++b) rpb[b + 1] += rpb[b];
+  return rpb[mb];
+}
+
+int32_t bsr_fill(const int64_t* rp, const int32_t* ci, const double* v,
+                 int64_t m, int32_t r, int64_t mb, const int64_t* rpb,
+                 int64_t* cib, double* vals2d) {
+  if (r < 2 || r > 16) return -1;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+  for (int64_t b = 0; b < mb; ++b) {
+    const int64_t r0 = b * r, r1 = std::min<int64_t>(m, r0 + r);
+    const int nr = (int)(r1 - r0);
+    int64_t p[16];
+    for (int k = 0; k < nr; ++k) p[k] = rp[r0 + k];
+    int64_t out = rpb[b];
+    for (;;) {
+      int64_t mn = INT64_MAX;
+      for (int k = 0; k < nr; ++k)
+        if (p[k] < rp[r0 + k + 1]) mn = std::min<int64_t>(mn, ci[p[k]] / r);
+      if (mn == INT64_MAX) break;
+      cib[out] = mn;
+      double* cell = vals2d + out * (int64_t)r * r;
+      for (int k = 0; k < nr; ++k)
+        while (p[k] < rp[r0 + k + 1] && ci[p[k]] / r == mn) {
+          cell[k * r + (ci[p[k]] % r)] = v[p[k]];
+          ++p[k];
+        }
+      ++out;
+    }
+  }
+  return 0;
+}
+
 // Version marker for the ctypes loader.
-int32_t spmv_native_abi_version() { return 3; }
+int32_t spmv_native_abi_version() { return 4; }
 
 }  // extern "C"

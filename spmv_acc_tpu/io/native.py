@@ -17,7 +17,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["get_lib", "parse_doubles", "coo_to_csr_native", "tile_analyze_native", "swell_analyze_native", "available"]
+__all__ = ["get_lib", "parse_doubles", "coo_to_csr_native", "tile_analyze_native",
+           "swell_analyze_native", "bsr_condense_native", "available"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libspmv_native.so")
@@ -26,7 +27,7 @@ _lib = None
 _tried = False
 
 
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def _build(force: bool = False) -> bool:
@@ -86,6 +87,8 @@ def get_lib():
             lib.coo_to_csr.restype = ctypes.c_int32
             lib.tile_analyze.restype = ctypes.c_int64
             lib.swell_analyze.restype = ctypes.c_int64
+            lib.bsr_count.restype = ctypes.c_int64
+            lib.bsr_fill.restype = ctypes.c_int32
             _lib = lib
         except OSError:
             _lib = None
@@ -211,3 +214,43 @@ def swell_analyze_native(row_ptr, col_idx, m, delta):
     return (slab_of_nnz, lidx, slot, layer_k,
             slab_rb[:ns].copy(), slab_w[:ns].copy(), slab_k[:ns].copy(),
             slab_wide[:ns].astype(bool))
+
+
+def bsr_condense_native(rp, ci, v, m, r, mb):
+    """Native r x r block condense (node-row-parallel r-way merge).
+
+    Returns (rp_b int64 (mb+1,), ci_b int64, vals2d (nnzb, r*r) f64) or None.
+    """
+    lib = get_lib()
+    if lib is None or np.dtype(v.dtype) != np.float64 or not (2 <= r <= 16):
+        return None
+    rp = np.ascontiguousarray(rp, dtype=np.int64)
+    ci = np.ascontiguousarray(ci, dtype=np.int32)
+    v = np.ascontiguousarray(v, dtype=np.float64)
+    rpb = np.zeros(mb + 1, dtype=np.int64)
+    nnzb = lib.bsr_count(
+        rp.ctypes.data_as(ctypes.c_void_p),
+        ci.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(m),
+        ctypes.c_int32(r),
+        ctypes.c_int64(mb),
+        rpb.ctypes.data_as(ctypes.c_void_p),
+    )
+    if nnzb < 0:
+        return None
+    cib = np.empty(nnzb, dtype=np.int64)
+    vals2d = np.zeros((nnzb, r * r), dtype=np.float64)
+    rc = lib.bsr_fill(
+        rp.ctypes.data_as(ctypes.c_void_p),
+        ci.ctypes.data_as(ctypes.c_void_p),
+        v.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(m),
+        ctypes.c_int32(r),
+        ctypes.c_int64(mb),
+        rpb.ctypes.data_as(ctypes.c_void_p),
+        cib.ctypes.data_as(ctypes.c_void_p),
+        vals2d.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return rpb, cib, vals2d

@@ -172,14 +172,14 @@ def _unpack_bytes(words, nrows):
     )[:nrows]
 
 
-def _packed_rows(log2d: int, is64: bool, wide: bool):
+def _packed_rows(log2d: int, is64: bool, wide: bool, nv: int = 1):
     """Row layout of the per-step packed int32 buffer (single large DMA):
-    values | lidx | onehot | rbvec | occrow | pad."""
+    values (nv planes, hi then lo) | lidx | onehot | rbvec | occrow | pad."""
     P = 128 >> log2d
     boff = max(P, 8)
     ohl = 2 * boff if wide else max(4, -(-P // 4) * 4)
     ohw = ohl // 4
-    nval = 256 if is64 else 128
+    nval = nv * (256 if is64 else 128)
     r = nval + 32 + ohw + 2
     return P, boff, ohw, nval, -(-r // 8) * 8
 
@@ -240,51 +240,78 @@ def _expand_tile(t, D, P):
     return jnp.broadcast_to(t[None], (D, P, 128)).reshape(128, 128)
 
 
-def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool):
-    P, boff, ohw, nval, _ = _packed_rows(log2d, False, wide)
+def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int = 1):
+    """r = 1: scalar CSR step.  r > 1: BSR micro-block step — each slot holds an
+    r x r dense block (nv = r*r value planes sharing ONE set of indices/one-hots),
+    x is pre-sliced into r interleaved sub-vectors (x_j = x[j::r]) whose chunk
+    planes stack along sublanes, and the step produces r output tiles (y_i =
+    y[i::r]).  The index/table machinery amortizes r*r-fold over the values."""
+    nv = r * r
+    P, boff, ohw, nval, _ = _packed_rows(log2d, False, wide, nv)
     D = 1 << log2d
 
     def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
                *rest):
         if dual:
-            chunkb_ref, o_ref, ts_ref = rest
+            chunkb_ref, o_ref = rest[0], rest[1]
+            ts_refs = rest[2:]
         else:
             (o_ref,) = rest
+            ts_refs = None
         s = pl.program_id(0)
         buf = packed_ref[0]
-        vals = jax.lax.bitcast_convert_type(buf[:128], jnp.float32)
-        idx = _unpack_bytes(buf[128:160], 128)
-        oh = _unpack_bytes(buf[160 : 160 + ohw], 4 * ohw)
-        rb = buf[160 + ohw : 161 + ohw]
-        planes = [chunk_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]
-        planes_b = [chunkb_ref[0, i * 128 : (i + 1) * 128] for i in range(3)] if dual else None
-        ((ta, tb),) = _tables_dual(oh, [planes], [planes_b] if dual else None,
-                                   hasb_r[s], (ts_ref,) if dual else None, P, D, wide)
-        g = _gather_sel(ta, tb, idx) if wide else _lane_gather(ta, idx)
-        p = vals * g
-        for _ in range(log2d):
-            half = p.shape[0] // 2
-            p = p[:half] + p[half:]
+        vals = [jax.lax.bitcast_convert_type(buf[p * 128 : (p + 1) * 128], jnp.float32)
+                for p in range(nv)]
+        idx = _unpack_bytes(buf[nval : nval + 32], 128)
+        oh = _unpack_bytes(buf[nval + 32 : nval + 32 + ohw], 4 * ohw)
+        rb = buf[nval + 32 + ohw : nval + 33 + ohw]
+        pa_sets, pb_sets = [], ([] if dual else None)
+        for j in range(r):
+            base = j * 3 * 128
+            pa_sets.append([chunk_ref[0, base + i * 128 : base + (i + 1) * 128]
+                            for i in range(3)])
+            if dual:
+                pb_sets.append([chunkb_ref[0, base + i * 128 : base + (i + 1) * 128]
+                                for i in range(3)])
+        pairs = _tables_dual(oh, pa_sets, pb_sets, hasb_r[s], ts_refs, P, D, wide)
+        gs = []
+        for j in range(r):
+            ta, tb = pairs[j]
+            gs.append(_gather_sel(ta, tb, idx) if wide else _lane_gather(ta, idx))
+        folded = []
+        for i in range(r):
+            p = vals[i * r] * gs[0]
+            for j in range(1, r):
+                p = p + vals[i * r + j] * gs[j]
+            for _ in range(log2d):
+                half = p.shape[0] // 2
+                p = p[:half] + p[half:]
+            folded.append(p)
         if classpos and log2d == 0:
             # position == output row (P == ROUT): the scatter is the identity
-            contrib = p
+            contribs = folded
         elif classpos:
             # position-class layout: out row j*P+p receives fold[p] gated by the
             # occupancy mask (one tiny matmul + a VPU multiply instead of the
             # one-hot scatter matmuls); exact since the mask is 0/1
-            occ = buf[161 + ohw : 162 + ohw]
-            contrib = _expand_tile(p, D, P) * _mask_col(occ)
+            occ = buf[nval + 33 + ohw : nval + 34 + ohw]
+            mk = _mask_col(occ)
+            contribs = [_expand_tile(p, D, P) * mk for p in folded]
         else:
-            (contrib,) = _scatter_exact(rb, (p,), P)
+            contribs = _scatter_exact(rb, tuple(folded), P)
         first = first_r[s]
 
         @pl.when(first == 1)
         def _():
-            o_ref[0] = contrib
+            for i in range(r):
+                o_ref[0, i * ROUT : (i + 1) * ROUT] = contribs[i]
 
         @pl.when(first == 0)
         def _():
-            o_ref[0] = o_ref[0] + contrib
+            for i in range(r):
+                o_ref[0, i * ROUT : (i + 1) * ROUT] = (
+                    o_ref[0, i * ROUT : (i + 1) * ROUT] + contribs[i]
+                )
 
     return kernel
 
@@ -296,83 +323,128 @@ def _split(a):
     return hi, a - hi
 
 
-def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool):
-    P, boff, ohw, nval, _ = _packed_rows(log2d, True, wide)
+def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int = 1):
+    """Compensated two-f32 kernel; r > 1 is the BSR micro-block variant (see
+    _make_f32_kernel).  Output tile layout per block row i: hi rows
+    [i*2*ROUT, i*2*ROUT+ROUT), err rows [i*2*ROUT+ROUT, (i+1)*2*ROUT)."""
+    nv = r * r
+    P, boff, ohw, nval, _ = _packed_rows(log2d, True, wide, nv)
     D = 1 << log2d
 
     def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
                *rest):
         if dual:
-            chunkb_ref, o_ref, ts_hi, ts_lo = rest
+            chunkb_ref, o_ref = rest[0], rest[1]
+            ts_refs = rest[2:]
         else:
             (o_ref,) = rest
+            ts_refs = None
         s = pl.program_id(0)
         buf = packed_ref[0]
-        vh = jax.lax.bitcast_convert_type(buf[:128], jnp.float32)
-        vl = jax.lax.bitcast_convert_type(buf[128:256], jnp.float32)
-        idx = _unpack_bytes(buf[256:288], 128)
-        oh = _unpack_bytes(buf[288 : 288 + ohw], 4 * ohw)
-        rb = buf[288 + ohw : 289 + ohw]
-        planes = [chunk_ref[0, i * 128 : (i + 1) * 128] for i in range(6)]
-        planes_b = [chunkb_ref[0, i * 128 : (i + 1) * 128] for i in range(6)] if dual else None
-        (tha, thb), (tla, tlb) = _tables_dual(
-            oh, [planes[:3], planes[3:]],
-            [planes_b[:3], planes_b[3:]] if dual else None,
-            hasb_r[s], (ts_hi, ts_lo) if dual else None, P, D, wide,
+        vh = [jax.lax.bitcast_convert_type(buf[p * 128 : (p + 1) * 128], jnp.float32)
+              for p in range(nv)]
+        vl = [jax.lax.bitcast_convert_type(buf[(nv + p) * 128 : (nv + p + 1) * 128],
+                                           jnp.float32)
+              for p in range(nv)]
+        idx = _unpack_bytes(buf[nval : nval + 32], 128)
+        oh = _unpack_bytes(buf[nval + 32 : nval + 32 + ohw], 4 * ohw)
+        rb = buf[nval + 32 + ohw : nval + 33 + ohw]
+        sets_hi, sets_lo = [], []
+        sets_hi_b, sets_lo_b = ([], []) if dual else (None, None)
+        for j in range(r):
+            base = j * 6 * 128
+            pj = [chunk_ref[0, base + i * 128 : base + (i + 1) * 128] for i in range(6)]
+            sets_hi.append(pj[:3])
+            sets_lo.append(pj[3:])
+            if dual:
+                pbj = [chunkb_ref[0, base + i * 128 : base + (i + 1) * 128]
+                       for i in range(6)]
+                sets_hi_b.append(pbj[:3])
+                sets_lo_b.append(pbj[3:])
+        pairs = _tables_dual(
+            oh, sets_hi + sets_lo,
+            (sets_hi_b + sets_lo_b) if dual else None,
+            hasb_r[s], ts_refs, P, D, wide,
         )
-        if wide:
-            gh = _gather_sel(tha, thb, idx)
-            gl = _gather_sel(tla, tlb, idx)
-        else:
-            gh = _lane_gather(tha, idx)
-            gl = _lane_gather(tla, idx)
-        # Dekker two_prod (FMA-free) + first-order cross terms
-        p = vh * gh
-        ah, al = _split(vh)
-        bh, bl = _split(gh)
-        e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-        # all three cross terms: vl*gl is ~2^-48|p| — the same order as the
-        # representation floor, and heavy-cancellation rows (|y| ~ 1e-6|p|) sit
-        # within ~2x of the rel-1e-7 gate at 10^7 rows, so every bit counts
-        e = e + (vh * gl + (vl * gh + vl * gl))
-        # compensated contiguous-half fold: log2(D) levels.  Knuth 2Sum (ordering-free;
-        # Fast2Sum needs |a|>=|b| which does not hold for arbitrary partial sums).
-        for _ in range(log2d):
-            half = p.shape[0] // 2
-            a, b = p[:half], p[half:]
-            ssum = a + b
-            bb = ssum - a
-            err = (a - (ssum - bb)) + (b - bb)
-            e = e[:half] + e[half:] + err
-            p = ssum
+        phs: list = [None] * r
+        pes: list = [None] * r
+        for j in range(r):
+            tha, thb = pairs[j]
+            tla, tlb = pairs[r + j]
+            if wide:
+                gh = _gather_sel(tha, thb, idx)
+                gl = _gather_sel(tla, tlb, idx)
+            else:
+                gh = _lane_gather(tha, idx)
+                gl = _lane_gather(tla, idx)
+            bh, bl = _split(gh)  # shared across the r block rows
+            for i in range(r):
+                v_h = vh[i * r + j]
+                v_l = vl[i * r + j]
+                # Dekker two_prod (FMA-free) + first-order cross terms
+                p = v_h * gh
+                ah, al = _split(v_h)
+                e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+                # all three cross terms: vl*gl is ~2^-48|p| — the same order as the
+                # representation floor, and heavy-cancellation rows (|y| ~ 1e-6|p|)
+                # sit within ~2x of the rel-1e-7 gate at 10^7 rows
+                e = e + (v_h * gl + (v_l * gh + v_l * gl))
+                if phs[i] is None:
+                    phs[i], pes[i] = p, e
+                else:
+                    # Knuth 2Sum accumulate across the block columns j
+                    a0 = phs[i]
+                    ssum = a0 + p
+                    bb = ssum - a0
+                    err = (a0 - (ssum - bb)) + (p - bb)
+                    phs[i] = ssum
+                    pes[i] = pes[i] + e + err
+        for i in range(r):
+            p, e = phs[i], pes[i]
+            # compensated contiguous-half fold: log2(D) levels.  Knuth 2Sum
+            # (ordering-free; Fast2Sum needs |a|>=|b| which does not hold here).
+            for _ in range(log2d):
+                half = p.shape[0] // 2
+                a, b = p[:half], p[half:]
+                ssum = a + b
+                bb = ssum - a
+                err = (a - (ssum - bb)) + (b - bb)
+                e = e[:half] + e[half:] + err
+                p = ssum
+            phs[i], pes[i] = p, e
         if classpos and log2d == 0:
             # position == output row (P == ROUT): the scatter is the identity
-            ph, pe = p, e
+            pass
         elif classpos:
             # position-class layout: out row j*P+p receives fold[p] gated by the
-            # occupancy mask (one tiny matmul + two VPU multiplies instead of
-            # the one-hot scatter matmuls); exact since the mask is 0/1
-            occ = buf[289 + ohw : 290 + ohw]
-            m = _mask_col(occ)
-            ph = _expand_tile(p, D, P) * m
-            pe = _expand_tile(e, D, P) * m
+            # occupancy mask (one tiny matmul + VPU multiplies instead of the
+            # one-hot scatter matmuls); exact since the mask is 0/1
+            occ = buf[nval + 33 + ohw : nval + 34 + ohw]
+            mk = _mask_col(occ)
+            phs = [_expand_tile(p, D, P) * mk for p in phs]
+            pes = [_expand_tile(e, D, P) * mk for e in pes]
         else:
-            ph, pe = _scatter_exact(rb, (p, e), P)
+            outs = _scatter_exact(rb, tuple(phs) + tuple(pes), P)
+            phs, pes = list(outs[:r]), list(outs[r:])
         first = first_r[s]
 
         @pl.when(first == 1)
         def _():
-            o_ref[0, :ROUT] = ph
-            o_ref[0, ROUT:] = pe
+            for i in range(r):
+                o_ref[0, i * 2 * ROUT : i * 2 * ROUT + ROUT] = phs[i]
+                o_ref[0, i * 2 * ROUT + ROUT : (i + 1) * 2 * ROUT] = pes[i]
 
         @pl.when(first == 0)
         def _():
-            cur = o_ref[0, :ROUT]
-            ssum = cur + ph
-            bb = ssum - cur
-            err = (cur - (ssum - bb)) + (ph - bb)
-            o_ref[0, :ROUT] = ssum
-            o_ref[0, ROUT:] = o_ref[0, ROUT:] + pe + err
+            for i in range(r):
+                hi_sl = slice(i * 2 * ROUT, i * 2 * ROUT + ROUT)
+                er_sl = slice(i * 2 * ROUT + ROUT, (i + 1) * 2 * ROUT)
+                cur = o_ref[0, hi_sl]
+                ssum = cur + phs[i]
+                bb = ssum - cur
+                err = (cur - (ssum - bb)) + (phs[i] - bb)
+                o_ref[0, hi_sl] = ssum
+                o_ref[0, er_sl] = o_ref[0, er_sl] + pes[i] + err
 
     return kernel
 
@@ -394,7 +466,8 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool):
 #    hardware (bench.py golden verify + tools/verify_tpu.py).
 
 
-def _make_native_steps_kernel(log2d: int, wide: bool, dtype):
+def _make_native_steps_kernel(log2d: int, wide: bool, dtype, r: int = 1):
+    nv = r * r
     P = 128 >> log2d
     D = 1 << log2d
 
@@ -409,40 +482,48 @@ def _make_native_steps_kernel(log2d: int, wide: bool, dtype):
         boff = max(P, 8)
         nrows = boff + P if wide else P
         ohr = oh_ref[0, :nrows].astype(jnp.int32)
-        # chunk-pair tables: the one-hot value encodes the side (1 = chunk a,
-        # 2 = chunk b), and side-b entries are absent on single-chunk steps, so
-        # the unconditional sum is exact (interpret path trades the cond for
-        # simplicity; the TPU kernels skip the b matmuls via lax.cond)
-        ts = dot((ohr & 1).astype(dtype), chunk_ref[0]) + dot(
-            (ohr >> 1).astype(dtype), chunkb_ref[0]
-        )  # A rows then (wide) B rows per position
 
         def expand(t):
             if D == 1:
                 return t
             return jnp.broadcast_to(t[None], (D, P, 128)).reshape(128, 128)
 
-        ta = expand(ts[:P])
         idx = lidx_ref[0].astype(jnp.int32)
-        if wide:
-            tb = expand(ts[boff : boff + P])
-            g = jnp.where(idx >= 128, _lane_gather(tb, jnp.bitwise_and(idx, 127)),
-                          _lane_gather(ta, jnp.bitwise_and(idx, 127)))
-        else:
-            g = _lane_gather(ta, idx)
-        p = vals_ref[0] * g
-        for _ in range(log2d):
-            half = p.shape[0] // 2
-            p = p[:half] + p[half:]
-        o_ref[0] = dot(_build_T(rb_ref[0], P).astype(dtype), p)
+        gs = []
+        for j in range(r):
+            # chunk-pair tables: the one-hot value encodes the side (1 = chunk a,
+            # 2 = chunk b), and side-b entries are absent on single-chunk steps, so
+            # the unconditional sum is exact (interpret path trades the cond for
+            # simplicity; the TPU kernels skip the b matmuls via lax.cond)
+            cj = chunk_ref[0, j * 128 : (j + 1) * 128]
+            cbj = chunkb_ref[0, j * 128 : (j + 1) * 128]
+            ts = dot((ohr & 1).astype(dtype), cj) + dot((ohr >> 1).astype(dtype), cbj)
+            ta = expand(ts[:P])  # A rows then (wide) B rows per position
+            if wide:
+                tb = expand(ts[boff : boff + P])
+                g = jnp.where(idx >= 128, _lane_gather(tb, jnp.bitwise_and(idx, 127)),
+                              _lane_gather(ta, jnp.bitwise_and(idx, 127)))
+            else:
+                g = _lane_gather(ta, idx)
+            gs.append(g)
+        T = _build_T(rb_ref[0], P).astype(dtype)
+        for i in range(r):
+            p = vals_ref[0, i * r * 128 : (i * r + 1) * 128] * gs[0]
+            for j in range(1, r):
+                p = p + vals_ref[0, (i * r + j) * 128 : (i * r + j + 1) * 128] * gs[j]
+            for _ in range(log2d):
+                half = p.shape[0] // 2
+                p = p[:half] + p[half:]
+            o_ref[0, i * ROUT : (i + 1) * ROUT] = dot(T, p)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("log2d", "wide", "nout"))
-def _call_native_interp(csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec,
-                        chunks, log2d, wide, nout):
+@functools.partial(jax.jit, static_argnames=("log2d", "wide", "nout", "r"))
+def _call_native_interp_r(csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec,
+                          chunks, log2d, wide, nout, r):
     """Interpret-mode path: per-step outputs in the source dtype, summed exactly."""
+    nv = r * r
     nsteps = vals.shape[0]
     dtype = vals.dtype
     spec3 = lambda s, *_: (s, _Z, _Z)
@@ -450,24 +531,24 @@ def _call_native_interp(csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec,
         num_scalar_prefetch=5,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, 128, 128), spec3),
+            pl.BlockSpec((1, nv * 128, 128), spec3),
             pl.BlockSpec((1, 128, 128), spec3),
             pl.BlockSpec((1, oh.shape[1], 128), spec3),
             pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z)),
-            pl.BlockSpec((1, 128, 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
-            pl.BlockSpec((1, 128, 128),
+            pl.BlockSpec((1, r * 128, 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+            pl.BlockSpec((1, r * 128, 128),
                          lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)),
         ],
-        out_specs=pl.BlockSpec((1, ROUT, 128), spec3),
+        out_specs=pl.BlockSpec((1, r * ROUT, 128), spec3),
     )
     per_step = pl.pallas_call(
-        _make_native_steps_kernel(log2d, wide, dtype),
+        _make_native_steps_kernel(log2d, wide, dtype, r),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nsteps, ROUT, 128), dtype),
+        out_shape=jax.ShapeDtypeStruct((nsteps, r * ROUT, 128), dtype),
         interpret=True,
     )(csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, chunks, chunks)
     return jax.ops.segment_sum(per_step.reshape(nsteps, -1), osel, num_segments=nout).reshape(
-        nout, ROUT, 128
+        nout, r * ROUT, 128
     )
 
 
@@ -479,7 +560,7 @@ def _ts_rows(log2d: int, wide: bool) -> int:
 
 
 def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
-              interpret, dual=True, classpos=False):
+              interpret, dual=True, classpos=False, r=1):
     nsteps = packed.shape[0]
     in_specs = [
         pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
@@ -492,22 +573,23 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
         num_scalar_prefetch=5,
         grid=(nsteps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ROUT, 128),
+        out_specs=pl.BlockSpec((1, r * ROUT, 128),
                                lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
-        scratch_shapes=[pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32)]
+        scratch_shapes=[pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32)
+                        for _ in range(r)]
         if dual else [],
     )
     args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ())
     return pl.pallas_call(
-        _make_f32_kernel(log2d, wide, dual, classpos),
+        _make_f32_kernel(log2d, wide, dual, classpos, r),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nout, ROUT, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nout, r * ROUT, 128), jnp.float32),
         interpret=interpret,
     )(*args)
 
 
 def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
-              interpret, dual=True, classpos=False):
+              interpret, dual=True, classpos=False, r=1):
     nsteps = packed.shape[0]
     if not dual:
         # exact legacy 3-scalar call for single-chunk buckets (A/B: isolate scalar count)
@@ -518,14 +600,14 @@ def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
                 pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
                 pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
             ],
-            out_specs=pl.BlockSpec((1, 2 * ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
+            out_specs=pl.BlockSpec((1, 2 * r * ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
         )
         def k3(csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref):
-            return _make_f64_kernel(log2d, wide, False, classpos)(
+            return _make_f64_kernel(log2d, wide, False, classpos, r)(
                 csel_r, csel_r, csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref)
         return pl.pallas_call(
             k3, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nout, 2 * ROUT, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((nout, 2 * r * ROUT, 128), jnp.float32),
             interpret=interpret,
         )(csel, osel, first, packed, chunks)
     in_specs = [
@@ -539,27 +621,33 @@ def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
         num_scalar_prefetch=5,
         grid=(nsteps,),
         in_specs=in_specs,
-        # hi rows [0, ROUT), err rows [ROUT, 2*ROUT) in ONE block: one write-back DMA
-        out_specs=pl.BlockSpec((1, 2 * ROUT, 128),
+        # hi + err rows of all r block rows in ONE block: one write-back DMA
+        out_specs=pl.BlockSpec((1, 2 * r * ROUT, 128),
                                lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
-        scratch_shapes=[pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32),
-                        pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32)]
+        scratch_shapes=[pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32)
+                        for _ in range(2 * r)]
         if dual else [],
     )
     args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ())
     return pl.pallas_call(
-        _make_f64_kernel(log2d, wide, dual, classpos),
+        _make_f64_kernel(log2d, wide, dual, classpos, r),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nout, 2 * ROUT, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nout, 2 * r * ROUT, 128), jnp.float32),
         interpret=interpret,
     )(*args)
 
 
 class _DeviceSwellPlan:
-    """Device-resident packed slabs + prefetch arrays for all buckets of one matrix."""
+    """Device-resident packed slabs + prefetch arrays for all buckets of one matrix.
 
-    def __init__(self, plan: SwellPlan, dtype):
+    ``r > 1``: the plan was built on the r x r micro-block NODE pattern (BSR path) —
+    rows/cols/chunks are node-granular, each slot carries r*r value planes, and x/y
+    are sliced into r interleaved sub-vectors around the kernel."""
+
+    def __init__(self, plan: SwellPlan, dtype, r: int = 1, out_rows: int | None = None):
         self.plan = plan
+        self.r = r
+        self.out_rows = plan.rows * r if out_rows is None else out_rows
         self.dtype = np.dtype(dtype)
         self.nout = plan.nout
         self.nchunks = plan.nchunks
@@ -591,11 +679,11 @@ class _DeviceSwellPlan:
     def prep_x(self, x):
         """bf16 chunk planes for the TPU kernels (see _prep_x_pure)."""
         return _prep_x_pure(x, self.nchunks, self.dtype == np.float64, native=False,
-                            delta=self.plan.delta)
+                            delta=self.plan.delta, r=self.r)
 
     def prep_x_native(self, x):
         return _prep_x_pure(x, self.nchunks, self.dtype == np.float64, native=True,
-                            delta=self.plan.delta)[0]
+                            delta=self.plan.delta, r=self.r)[0]
 
 
 
@@ -615,7 +703,7 @@ def _pack_bucket(bk, vals, log2d):
     buffer — ONE large DMA per grid step instead of five small ones (measured:
     64KB-block streams reach ~260 GB/s, 256KB single blocks ~750 GB/s)."""
     is64 = len(vals) == 2
-    P, boff, ohw, nval, rpad = _packed_rows(log2d, is64, bk.wide)
+    P, boff, ohw, nval, rpad = _packed_rows(log2d, is64, bk.wide, bk.nv)
     assert bk.onehot.shape[1] == 4 * ohw, (bk.onehot.shape, ohw, bk.wide)
     n = bk.nsteps
     parts = [v.view(np.int32) for v in vals]
@@ -633,6 +721,8 @@ _SWELL_CACHE: dict = {}
 
 
 def get_swell_plan(csr, dtype) -> _DeviceSwellPlan:
+    import os
+
     key = (id(csr.row_ptr), csr.shape, csr.nnz, "swell", np.dtype(dtype).str)
     hit = _SWELL_CACHE.get(key)
     # the cached entry holds a reference to the keyed array so its id() cannot be
@@ -640,7 +730,24 @@ def get_swell_plan(csr, dtype) -> _DeviceSwellPlan:
     if hit is not None and hit[0] is csr.row_ptr:
         return hit[1]
     rp, ci, v, shape = csr.to_numpy()
-    dp = _DeviceSwellPlan(build_swell_plan(rp, ci, v, shape), dtype)
+    # BSR micro-block path: FEM/structural matrices built from r x r node blocks
+    # (rows of a node share column sets) condense to a node pattern with 1/r^2 the
+    # slots — the plan and all index machinery amortize r^2-fold (VERDICT round-1
+    # lever #1; reference analog: the analyze-pass economics of
+    # hip-csr-adaptive-plus/csr_adaptive_plus_analyze.cpp:12-98).
+    r = 1
+    if not os.environ.get("SPMV_TPU_NO_BSR"):
+        from .bsr_block import bsr_condense, detect_block_size
+
+        forced = os.environ.get("SPMV_TPU_BSR")
+        r = int(forced) if forced else detect_block_size(rp, ci, shape)
+        if r > 1:
+            rp_b, ci_b, vals2d = bsr_condense(rp, ci, v, shape, r)
+            plan = build_swell_plan(rp_b, ci_b, vals2d,
+                                    (len(rp_b) - 1, -(-shape[1] // r)))
+            dp = _DeviceSwellPlan(plan, dtype, r=r, out_rows=int(shape[0]))
+    if r <= 1:
+        dp = _DeviceSwellPlan(build_swell_plan(rp, ci, v, shape), dtype)
     # host CSR retained for the cancellation-refinement pass (tiny RAM rent
     # next to the device plan; avoids a full D2H of values/col_idx later)
     dp.host_csr = (rp, ci, v)
@@ -680,9 +787,10 @@ def _statics(dp: _DeviceSwellPlan, interp: bool):
     p = dp.plan
     return (
         bool(dp.dtype == np.float64), bool(interp), p.nout, p.nchunks,
-        p.copies, p.tile_rb, p.rows, p.delta,
+        p.copies, p.tile_rb, dp.out_rows, p.delta,
         tuple((b["log2d"], b["wide"], b["dual"], b["classpos"], b["allout"])
               for b in dp.buckets),
+        dp.r,
     )
 
 
@@ -710,67 +818,104 @@ def _bf16_planes(xf32, k):
     return planes
 
 
-def _prep_x_pure(x, nchunks, is64, native, delta=0):
-    """Chunk planes of x, front-padded by the plan's column phase shift delta."""
+def _prep_x_pure(x, nchunks, is64, native, delta=0, r=1):
+    """Chunk planes of x, front-padded by the plan's column phase shift delta.
+
+    r > 1 (BSR): x is sliced into r interleaved sub-vectors x_j = x[j::r] (node
+    granularity), each plane-split independently; slices stack along sublanes so a
+    chunk block holds slice j's planes at rows [j*K*128, (j+1)*K*128) (K = planes
+    per slice: 1 native, 3 f32, 6 f64)."""
     n_pad = nchunks * CHUNK_W * CW
     shape = (nchunks, CHUNK_W, CW)
+    if r == 1:
+        if native:
+            dt = jnp.float64 if is64 else jnp.float32
+            xp = jnp.zeros((n_pad,), dt).at[delta : delta + x.shape[0]].set(x.astype(dt))
+            return (xp.reshape(shape),)
+        if is64:
+            x64 = x.astype(jnp.float64)
+            xh = x64.astype(jnp.float32)
+            xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
+            xh = jnp.zeros((n_pad,), jnp.float32).at[delta : delta + x.shape[0]].set(xh).reshape(shape)
+            xl = jnp.zeros((n_pad,), jnp.float32).at[delta : delta + x.shape[0]].set(xl).reshape(shape)
+            # hi needs all 24 mantissa bits (3 planes); lo also gets 3 (exact), because
+            # a 2-plane lo truncates xl at 16 bits -> abs error ~2^-40|x|, which breaches
+            # the rel-1e-7 gate on heavy-cancellation rows (|y| ~ 1e-6 of the summands)
+            # once matrices reach millions of rows.  3 planes puts the floor at 2^-48|x|.
+            # Planes stack along sublanes -> ONE (nchunks, 768, 128) array, one DMA.
+            return jnp.concatenate(_bf16_planes(xh, 3) + _bf16_planes(xl, 3), axis=1)
+        xp = jnp.zeros((n_pad,), jnp.float32).at[delta : delta + x.shape[0]].set(
+            x.astype(jnp.float32)
+        ).reshape(shape)
+        return jnp.concatenate(_bf16_planes(xp, 3), axis=1)
+    # BSR: pad to whole nodes, split into (node, within-node) and shift by the
+    # node-level delta
+    nbr = -(-x.shape[0] // r)
+    xs = jnp.zeros((nbr * r,), x.dtype).at[: x.shape[0]].set(x).reshape(nbr, r)
+
+    def stack_slices(planes):
+        # planes: list of (n_pad, r) arrays -> (nchunks, r*K*128, 128) slice-major
+        st = jnp.stack(planes)  # (K, n_pad, r)
+        arr = st.transpose(2, 0, 1).reshape(r, len(planes), nchunks, CHUNK_W, CW)
+        return arr.transpose(2, 0, 1, 3, 4).reshape(nchunks, -1, CW)
+
     if native:
         dt = jnp.float64 if is64 else jnp.float32
-        xp = jnp.zeros((n_pad,), dt).at[delta : delta + x.shape[0]].set(x.astype(dt))
-        return (xp.reshape(shape),)
+        X = jnp.zeros((n_pad, r), dt).at[delta : delta + nbr].set(xs.astype(dt))
+        return (stack_slices([X]),)
     if is64:
-        x64 = x.astype(jnp.float64)
-        xh = x64.astype(jnp.float32)
-        xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
-        xh = jnp.zeros((n_pad,), jnp.float32).at[delta : delta + x.shape[0]].set(xh).reshape(shape)
-        xl = jnp.zeros((n_pad,), jnp.float32).at[delta : delta + x.shape[0]].set(xl).reshape(shape)
-        # hi needs all 24 mantissa bits (3 planes); lo also gets 3 (exact), because
-        # a 2-plane lo truncates xl at 16 bits -> abs error ~2^-40|x|, which breaches
-        # the rel-1e-7 gate on heavy-cancellation rows (|y| ~ 1e-6 of the summands)
-        # once matrices reach millions of rows.  3 planes puts the floor at 2^-48|x|.
-        # Planes stack along sublanes -> ONE (nchunks, 768, 128) array, one DMA.
-        return jnp.concatenate(_bf16_planes(xh, 3) + _bf16_planes(xl, 3), axis=1)
-    xp = jnp.zeros((n_pad,), jnp.float32).at[delta : delta + x.shape[0]].set(
-        x.astype(jnp.float32)
-    ).reshape(shape)
-    return jnp.concatenate(_bf16_planes(xp, 3), axis=1)
+        X64 = jnp.zeros((n_pad, r), jnp.float64).at[delta : delta + nbr].set(
+            xs.astype(jnp.float64))
+        Xh = X64.astype(jnp.float32)
+        Xl = (X64 - Xh.astype(jnp.float64)).astype(jnp.float32)
+        return stack_slices(_bf16_planes(Xh, 3) + _bf16_planes(Xl, 3))
+    X = jnp.zeros((n_pad, r), jnp.float32).at[delta : delta + nbr].set(
+        xs.astype(jnp.float32))
+    return stack_slices(_bf16_planes(X, 3))
 
 
 def swell_ax(bargs, tail, x, statics):
     """Pure A@x over the swell plan; safe to trace inside any outer jit/loop."""
-    is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds = statics
+    is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r = statics
     out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
     if not bargs:
         y = jnp.zeros((rows,), out_dt)
     else:
-        chunks = _prep_x_pure(x, nchunks, is64, native=interp, delta=delta)
+        chunks = _prep_x_pure(x, nchunks, is64, native=interp, delta=delta, r=r)
         total = None
         for ba, (log2d, wide, dual, classpos, allout) in zip(bargs, log2ds):
             if interp:
                 csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
-                o = _call_native_interp(csel, cselb, hasb, osel, first, vals,
-                                        lidx, oh, rbvec, chunks[0], log2d, wide, nout)
+                o = _call_native_interp_r(csel, cselb, hasb, osel, first, vals,
+                                          lidx, oh, rbvec, chunks[0], log2d, wide,
+                                          nout, r)
+                o = o.reshape(nout, r, ROUT, 128)
                 part = o if is64 else o.astype(jnp.float32)
             elif is64:
                 csel, cselb, hasb, osel, first, packed, touched = ba
                 o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False, dual, classpos)
+                              log2d, wide, nout, False, dual, classpos, r)
+                o = o.reshape(nout, r, 2, ROUT, 128)
+                hi, er = o[:, :, 0], o[:, :, 1]
                 if allout:
                     # every out window written: skip the full-array masking
-                    part = o[:, :ROUT].astype(jnp.float64) + o[:, ROUT:].astype(jnp.float64)
+                    part = hi.astype(jnp.float64) + er.astype(jnp.float64)
                 else:
-                    mask = touched[:, None, None]
-                    part = jnp.where(mask, o[:, :ROUT], 0.0).astype(jnp.float64) + jnp.where(
-                        mask, o[:, ROUT:], 0.0
+                    mask = touched[:, None, None, None]
+                    part = jnp.where(mask, hi, 0.0).astype(jnp.float64) + jnp.where(
+                        mask, er, 0.0
                     ).astype(jnp.float64)
             else:
                 csel, cselb, hasb, osel, first, packed, touched = ba
                 o = _call_f32(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False, dual, classpos)
-                part = o if allout else jnp.where(touched[:, None, None], o, 0.0)
+                              log2d, wide, nout, False, dual, classpos, r)
+                o = o.reshape(nout, r, ROUT, 128)
+                part = o if allout else jnp.where(touched[:, None, None, None], o, 0.0)
             total = part if total is None else total + part
-        total = total.reshape(nout, tile_rb, copies, 128).sum(axis=2)
-        y = total.reshape(-1)[:rows].astype(out_dt)
+        # (nout, r, ROUT, 128): sum output-row copies, then interleave the r
+        # block-row slices back (actual row = node*r + i)
+        total = total.reshape(nout, r, tile_rb, copies, 128).sum(axis=3)
+        y = total.transpose(0, 2, 3, 1).reshape(-1)[:rows].astype(out_dt)
     trows, tci, tv = tail
     if trows.shape[0] > 0:
         # COO tail (spilled low-fill instances): f64 gather + segment_sum is exact

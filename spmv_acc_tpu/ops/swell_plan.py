@@ -59,8 +59,10 @@ class SwellBucket:
     wide: bool                 # any in-window index >= 128 (B table row needed)
     classpos: bool             # positions pinned to outrow % P: mask scatter
     nsteps: int
-    vh: np.ndarray             # (nsteps, 128, 128) f32 — value hi plane (== value for f32)
-    vl: np.ndarray | None      # (nsteps, 128, 128) f32 — value lo plane (f64 source only)
+    vh: np.ndarray             # (nsteps, nv*128, 128) f32 — value hi plane(s) (== value for
+    #                            f32).  nv > 1 is the BSR micro-block path: plane p = r*r
+    #                            values per node slot, p = (i*r + j) for block cell (i, j)
+    vl: np.ndarray | None      # (nsteps, nv*128, 128) f32 — value lo plane(s) (f64 source only)
     lidx: np.ndarray           # (nsteps, 128, 128) uint8 — index within the 256-col window
     onehot: np.ndarray         # (nsteps, ohp, 128) int8 — dual window-in-chunk per position;
     #                            value 1 selects from chunk a, value 2 from chunk b
@@ -74,6 +76,7 @@ class SwellBucket:
     first: np.ndarray          # (nsteps,) int32 — 1 on first step of an outsel run
     touched: np.ndarray        # (nout,) bool — out windows this bucket writes
     nnz: int
+    nv: int = 1                # value planes per slot (1 scalar; r*r for BSR blocks)
 
     @property
     def values(self) -> np.ndarray:
@@ -194,7 +197,7 @@ def _canonicalize(rp, ci, v, m):
     key_new[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
     starts = np.flatnonzero(key_new)
     uid = np.cumsum(key_new) - 1
-    v2 = np.zeros(len(starts), dtype=np.float64)
+    v2 = np.zeros((len(starts),) + v.shape[1:], dtype=np.float64)
     np.add.at(v2, uid, vs.astype(np.float64))
     r2, c2 = rs[starts], cs[starts]
     rp2 = np.zeros(m + 1, dtype=np.int64)
@@ -206,7 +209,7 @@ def _canonicalize(rp, ci, v, m):
 def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     rp = np.asarray(row_ptr, dtype=np.int64)
     ci = np.asarray(col_idx, dtype=np.int64)
-    v = np.asarray(values)
+    v = np.asarray(values)  # (nnz,) scalar, or (nnz, r*r) BSR cell planes
     m, n = int(shape[0]), int(shape[1])
     rp, ci, v = _canonicalize(rp, ci, v, m)
     nnz = int(rp[-1])
@@ -217,7 +220,8 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     tile_rb = ROUT // copies
     nout = max(1, -(-mrb // tile_rb))
     nchunks = max(1, -(-n // (CW * CHUNK_W)))
-    _no_tail = (np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, v.dtype))
+    _no_tail = (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros((0,) + v.shape[1:], v.dtype))
     if nnz == 0:
         return SwellPlan((), m, n, 0, nout, nchunks, *_no_tail, 1.0, 0, copies, tile_rb)
 
@@ -767,10 +771,17 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
     # The big non-base terms: each x-chunk (re)load ~500ns, each out-tile
     # writeback ~400ns, each mixed (chunk-pair) step one extra table build
     # ~350ns, dual buckets ~60ns/step for the extra operand machinery.
-    BASE_CP = (390.0, 456.0, 514.0, 524.0, 534.0, 544.0, 554.0, 564.0)
-    LOAD_NS = 500.0
-    WB_NS = 400.0
-    MIXED_NS = 350.0
+    nv = vk.shape[1] if vk.ndim == 2 else 1
+    rblk = max(1, int(round(nv ** 0.5)))
+    # BSR micro-block scaling: each step carries nv value planes (nv-1 extra
+    # compensated products) and rblk x-slices (rblk-1 extra table+gather sets);
+    # chunk blocks and out tiles are rblk x bigger.
+    _BSR_STEP = (nv - 1) * 210.0 + (rblk - 1) * 470.0
+    BASE_CP = tuple(b + _BSR_STEP
+                    for b in (390.0, 456.0, 514.0, 524.0, 534.0, 544.0, 554.0, 564.0))
+    LOAD_NS = 500.0 if rblk == 1 else 240.0 + 260.0 * rblk
+    WB_NS = 400.0 if rblk == 1 else 150.0 + 250.0 * rblk
+    MIXED_NS = 350.0 * rblk
     DUAL_NS = 60.0
 
     def step_base(k, cpos):
@@ -1047,14 +1058,24 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
                 + slab_pos[e_slab]) * 128 + lane[esel]
         is64 = np.dtype(dtype) == np.float64
         ve = vk[esel]
+        if ve.ndim == 1:
+            ve = ve[:, None]
         vhe = ve.astype(np.float32)
-        vh = np.zeros(nsteps * 128 * 128, dtype=np.float32)
-        vh[flat] = vhe
-        vh = vh.reshape(nsteps, 128, 128)
+        # nv > 1 (BSR): plane p of a step occupies sublane rows [p*128, (p+1)*128);
+        # every cell plane of a slot shares the slot's (step, srow, lane) address.
+        step_e = flat // 16384
+        win_e = flat % 16384
+        base_e = step_e * (nv * 16384) + win_e
+        vh = np.zeros(nsteps * nv * 16384, dtype=np.float32)
+        for p in range(nv):
+            vh[base_e + p * 16384] = vhe[:, p]
+        vh = vh.reshape(nsteps, nv * 128, 128)
         if is64:
-            vl = np.zeros(nsteps * 128 * 128, dtype=np.float32)
-            vl[flat] = (ve - vhe.astype(np.float64)).astype(np.float32)
-            vl = vl.reshape(nsteps, 128, 128)
+            vle = (ve - vhe.astype(np.float64)).astype(np.float32)
+            vl = np.zeros(nsteps * nv * 16384, dtype=np.float32)
+            for p in range(nv):
+                vl[base_e + p * 16384] = vle[:, p]
+            vl = vl.reshape(nsteps, nv * 128, 128)
         else:
             vl = None
         lidx = np.zeros(nsteps * 128 * 128, dtype=np.uint8)
@@ -1070,7 +1091,7 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
                 vh=vh, vl=vl, lidx=lidx, onehot=onehot, rbvec=rbvec,
                 occrow=occrow, chunksel=chunksel,
                 chunkselb=chunkselb, hasb=hasb, outsel=outsel,
-                first=first, touched=touched, nnz=len(esel),
+                first=first, touched=touched, nnz=len(esel), nv=nv,
             )
         )
         padded_slots += nsteps * 128 * 128

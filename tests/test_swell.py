@@ -209,18 +209,20 @@ def test_packed_kernel_structure_interpret(force):
 
     from spmv_acc_tpu.formats.generate import fem_like_csr
     from spmv_acc_tpu.ops.swell import (ROUT, _bucket_args, _call_f64,
-                                        _call_native_interp, _prep_x_pure,
+                                        _call_native_interp_r, _prep_x_pure,
                                         _statics, get_swell_plan)
 
     csr = fem_like_csr(2000, 2000, 300000, block=16, spread_frac=0.02, seed=11,
                        dtype=np.float64)
     os.environ["SPMV_TPU_FORCE_CPOS"] = force
+    os.environ["SPMV_TPU_NO_BSR"] = "1"  # this guard covers the scalar kernels
     try:
         dp = get_swell_plan(csr, np.float64)
     finally:
         del os.environ["SPMV_TPU_FORCE_CPOS"]
+        del os.environ["SPMV_TPU_NO_BSR"]
     st = _statics(dp, False)
-    log2ds = st[-1]
+    log2ds = st[-2]
     nout, nchunks, delta = st[2], st[3], st[7]
     x, _ = random_x_y(csr.shape[1], csr.shape[0], seed=9, dtype=np.float64)
     chunks_tpu = _prep_x_pure(jnp.asarray(x), nchunks, True, native=False, delta=delta)
@@ -234,9 +236,9 @@ def test_packed_kernel_structure_interpret(force):
                                  chunks_tpu, l2d, wide, nout, True, dual, cpos))
         got = o[:, :ROUT].astype(np.float64) + o[:, ROUT:].astype(np.float64)
         ci_, cib, hb, osel_i, first_i, vals, lidx, oh, rbvec, touched_i = bn
-        ref = np.asarray(_call_native_interp(ci_, cib, hb, osel_i, first_i, vals,
-                                             lidx, oh, rbvec, chunks_nat, l2d,
-                                             wide, nout))
+        ref = np.asarray(_call_native_interp_r(ci_, cib, hb, osel_i, first_i, vals,
+                                               lidx, oh, rbvec, chunks_nat, l2d,
+                                               wide, nout, 1))
         scale = max(np.abs(ref).max(), 1.0)
         assert np.abs(got - ref).max() / scale < 1e-4, \
             f"structure mismatch in D={1 << l2d} cpos={cpos} bucket"
