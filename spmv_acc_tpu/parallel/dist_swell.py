@@ -1,0 +1,226 @@
+"""Distributed SpMV with the FLAGSHIP swell kernel as the local compute.
+
+Round-1 distribution computed each shard's rows with XLA gather + segment_sum
+(~140 ns/element — unusable at scale); this module instead partitions the ONE
+global swell plan by its out-windows and runs the real Pallas kernels inside
+``shard_map``:
+
+* The global plan (BSR-aware) is built once; shard d owns the K = ceil(nout/D)
+  consecutive out-windows [d*K, (d+1)*K).  Out-windows cover uniform row counts
+  (tile_rb * 128 * r rows), so every shard's y block has the SAME length and the
+  sharded y IS the (padded) global vector — x for square systems shards
+  identically, with no cross-device relayout between CG iterations.
+* Each bucket's steps are already globally ordered by out-window, so a shard's
+  steps are a contiguous slice; shards pad to the max count with all-zero no-op
+  steps (zero values/one-hots contribute exact zeros; `touched` masking zeroes
+  windows a shard never writes, so uninitialized tiles are dropped).
+* Inside the shard, x is all-gathered over the mesh axis (ICI) and fed to the
+  SAME ``swell_ax`` the single-chip path uses — TPU Pallas kernels on hardware,
+  the native-dtype interpret path on the CPU test mesh.
+
+Reference scope note: the reference is single-GPU (cli/main.cpp:89); this layer
+is the new-scope distribution demanded by BASELINE.json config 5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8 moved shard_map out of experimental (check_vma kwarg)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f=None, **kw):
+        kw.setdefault("check_vma", False)
+        kw.pop("check_rep", None)
+        return _shard_map(f, **kw) if f is not None else _shard_map(**kw)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f=None, **kw):
+        kw.setdefault("check_rep", False)
+        kw.pop("check_vma", None)
+        if f is not None:
+            return _shard_map_old(f, **kw)
+        return lambda g: _shard_map_old(g, **kw)
+
+from ..formats.containers import CSR
+from ..ops.swell import _bucket_args, _interpret, _statics, get_swell_plan, swell_ax
+
+__all__ = ["DistSwellPlan", "build_dist_swell", "dist_swell_spmv_fn",
+           "dist_swell_cg_solve", "pad_global"]
+
+
+@dataclasses.dataclass
+class DistSwellPlan:
+    bucket_args: Tuple          # per bucket: stacked (D, ...) arrays, swell_ax layout
+    statics: Tuple              # per-shard statics for swell_ax (nout=K, rows=rows_local)
+    tail: Tuple                 # empty COO tail (dist path requires no spill)
+    num_shards: int
+    windows_per_shard: int      # K
+    rows_local: int             # K * tile_rb * 128 * r  (uniform per shard)
+    shape: Tuple[int, int]      # global (m, n)
+    r: int
+    dtype: np.dtype
+
+    @property
+    def padded_len(self) -> int:
+        return self.num_shards * self.rows_local
+
+
+def _pad_steps(arrs, count, pad_to, osel_pad):
+    """Pad per-step arrays (leading dim = steps) with no-op steps: zeros are safe
+    by construction (zero one-hot -> zero tables, zero values -> zero products;
+    rb=0 scatters a zero; first=0 accumulates zero onto an existing window)."""
+    out = []
+    pad = pad_to - count
+    for name, a in arrs:
+        a = np.asarray(a)
+        if pad == 0:
+            out.append(a)
+            continue
+        padded = np.zeros((pad_to,) + a.shape[1:], dtype=a.dtype)
+        padded[:count] = a
+        if name == "osel":
+            padded[count:] = osel_pad
+        if name == "first" and count == 0:
+            padded[0] = 1  # initialize window 0 (zeros; masked by touched anyway)
+        out.append(padded)
+    return out
+
+
+def build_dist_swell(csr: CSR, num_shards: int, dtype=None) -> DistSwellPlan:
+    """Partition the global swell plan's out-windows over ``num_shards``."""
+    dtype = np.dtype(dtype or csr.values.dtype)
+    dp = get_swell_plan(csr, dtype)
+    plan = dp.plan
+    interp = _interpret()
+    D = num_shards
+    K = max(1, -(-plan.nout // D))
+    r = dp.r
+    rows_local = K * plan.tile_rb * 128 * r
+    assert plan.tail_rows.shape[0] == 0, "dist swell requires a tail-free plan"
+    gargs = _bucket_args(dp, interp)
+    st = _statics(dp, interp)
+    # localize statics: nout -> K, rows -> rows_local, allout -> False (touched
+    # masking drops windows a shard never initializes)
+    log2ds = tuple((l2d, wide, dual, cpos, False) for (l2d, wide, dual, cpos, _a) in st[8])
+    statics = (st[0], st[1], K, st[3], st[4], st[5], rows_local, st[7], log2ds, st[9])
+    names_tpu = ("csel", "cselb", "hasb", "osel", "first", "packed", "touched")
+    names_interp = ("csel", "cselb", "hasb", "osel", "first", "vals", "lidx",
+                    "onehot", "rbvec", "touched")
+    names = names_interp if interp else names_tpu
+    stacked_buckets = []
+    for ba in gargs:
+        fields = {n: np.asarray(a) for n, a in zip(names, ba)}
+        osel = fields["osel"]
+        counts = []
+        slices = []
+        for d in range(D):
+            lo, hi = np.searchsorted(osel, [d * K, (d + 1) * K])
+            slices.append((int(lo), int(hi)))
+            counts.append(int(hi - lo))
+        smax = max(max(counts), 1)
+        per_shard = []
+        for d, (lo, hi) in enumerate(slices):
+            count = hi - lo
+            sub = []
+            for n_ in names:
+                if n_ == "touched":
+                    continue
+                a = fields[n_][lo:hi]
+                if n_ == "osel":
+                    a = a - d * K  # localize window ids
+                sub.append((n_, a))
+            osel_pad = int(sub[3][1][count - 1]) if count else 0
+            padded = _pad_steps(sub, count, smax, osel_pad)
+            touched = np.zeros(K, dtype=bool)
+            seg = fields["touched"][d * K : (d + 1) * K]
+            touched[: len(seg)] = seg
+            per_shard.append(padded + [touched])
+        stacked = tuple(jnp.asarray(np.stack([s[i] for s in per_shard]))
+                        for i in range(len(per_shard[0])))
+        stacked_buckets.append(stacked)
+    tail = (jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32),
+            jnp.zeros(0, jnp.float64 if (dtype == np.float64 and interp) else jnp.float32))
+    return DistSwellPlan(
+        bucket_args=tuple(stacked_buckets), statics=statics, tail=tail,
+        num_shards=D, windows_per_shard=K, rows_local=rows_local,
+        shape=(csr.rows, csr.shape[1]), r=r, dtype=dtype,
+    )
+
+
+def pad_global(dsp: DistSwellPlan, v) -> jnp.ndarray:
+    """Pad a global (m,) vector to the uniform sharded length D * rows_local."""
+    return jnp.zeros((dsp.padded_len,), v.dtype).at[: v.shape[0]].set(v)
+
+
+def dist_swell_spmv_fn(dsp: DistSwellPlan, mesh: Mesh, axis: str = "x"):
+    """Jitted distributed y = A @ x: x enters sharded (D * rows_local,) in the
+    padded-global layout (pad_global); returns y sharded the same way."""
+    n = dsp.shape[1]
+    flat, treedef = jax.tree_util.tree_flatten((dsp.bucket_args, dsp.tail))
+    nb = len(flat)
+    statics = dsp.statics
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=tuple([P(axis)] * nb) + (P(axis),),
+        out_specs=P(axis),
+    )
+    def _shard_fn(*args):
+        x_local = args[-1]
+        local = [a[0] for a in args[:nb]]  # strip the shard dim
+        bargs, tail = jax.tree_util.tree_unflatten(treedef, local)
+        x_full = jax.lax.all_gather(x_local, axis, tiled=True)[:n]
+        return swell_ax(bargs, tail, x_full, statics)
+
+    # the tail is shard-invariant (empty); broadcast it into shard layout
+    args_stacked = []
+    D = dsp.num_shards
+    for a in flat:
+        if a.ndim >= 1 and a.shape[0] == D:
+            args_stacked.append(a)
+        else:
+            args_stacked.append(jnp.broadcast_to(a[None], (D,) + a.shape))
+
+    @jax.jit
+    def run(x_sharded):
+        return _shard_fn(*args_stacked, x_sharded)
+
+    return run
+
+
+def dist_swell_cg_solve(csr: CSR, b, mesh: Mesh, tol: float = 1e-8,
+                        max_iters: int = 200, axis: str = "x"):
+    """Mesh-distributed CG with swell-kernel local compute (square SPD A).
+
+    ``b`` is the GLOBAL (m,) right-hand side; returns (CGResult with padded x,
+    dsp) — slice ``result.x[:m]`` for the global solution."""
+    from ..models.cg import _cg_loop
+
+    D = mesh.size
+    dsp = build_dist_swell(csr, D)
+    matvec_run = dist_swell_spmv_fn(dsp, mesh, axis)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+                       out_specs=P())
+    def dot_sm(a, c):
+        return jax.lax.psum(jnp.dot(a, c, preferred_element_type=a.dtype), axis)
+
+    sh = NamedSharding(mesh, P(axis))
+    bp = jax.device_put(pad_global(dsp, b), sh)
+    x0 = jax.device_put(jnp.zeros_like(bp), sh)
+
+    @jax.jit
+    def run(bb, xx):
+        return _cg_loop(matvec_run, None, bb, xx,
+                        jnp.asarray(tol, bb.dtype), max_iters, dot_sm)
+
+    return run(bp, x0), dsp
