@@ -253,7 +253,7 @@ def _stencil_csr(m, n, nnz, seed, dtype):
     return _finish(rows[sel], cols[sel], vals, (m, n))
 
 
-def example_like(name: str, seed: int = 7, dtype=np.float64) -> CSR:
+def example_like(name: str, seed: int = 7, dtype=np.float64, cache: bool = True) -> CSR:
     """A deterministic stand-in with the same (rows, cols, nnz) as a reference
     example and the same *structure class* (see _STRUCTURE).
 
@@ -263,7 +263,48 @@ def example_like(name: str, seed: int = 7, dtype=np.float64) -> CSR:
     patterns: FEM/structural matrices are dense node-block couplings with diagonal
     locality (contiguous column runs), circuit matrices are diagonal + heavy-tailed
     scatter, stencil meshes are narrow bands.
+
+    Generation at 40-80M nnz costs tens of seconds of repeated dedup sorts, so
+    results are cached on disk in the byte-compatible bin2 format (f64 values —
+    exact roundtrip; an f32 read casts identically to generating at f32).  Cache
+    dir: $SPMV_TPU_CORPUS_CACHE (default /tmp/spmv_corpus); ``cache=False`` or
+    SPMV_TPU_NO_CORPUS_CACHE=1 regenerates.
     """
+    import os
+
+    cache = cache and not os.environ.get("SPMV_TPU_NO_CORPUS_CACHE")
+    path = None
+    if cache:
+        cdir = os.environ.get("SPMV_TPU_CORPUS_CACHE", "/tmp/spmv_corpus")
+        path = os.path.join(cdir, f"{name}_s{seed}.bin2")
+        if os.path.exists(path):
+            try:
+                from ..io.binary import read_bin2
+
+                rp, ci, v, shape = read_bin2(path, dtype=dtype)
+                exp = EXAMPLE_SHAPES[name]
+                if shape == (exp[0], exp[1]) and len(ci) == exp[2]:
+                    return CSR.from_numpy(rp, ci, v, shape)
+            except Exception:
+                pass  # corrupt/stale cache entry: fall through and regenerate
+    csr = _example_like_gen(name, seed, dtype)
+    # only an f64 generation may populate the cache: values are stored f8, and
+    # an f32-rounded stream would silently degrade later f64 reads
+    if path is not None and np.dtype(dtype) == np.float64:
+        try:
+            from ..io.binary import write_bin2
+
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            rp, ci, v, shape = csr.to_numpy()
+            tmp = f"{path}.tmp{os.getpid()}"
+            write_bin2(tmp, rp, ci, np.asarray(v, dtype=np.float64), shape)
+            os.replace(tmp, path)  # atomic: concurrent generators never mix
+        except Exception:
+            pass  # cache is best-effort; the generated matrix is still returned
+    return csr
+
+
+def _example_like_gen(name: str, seed: int, dtype) -> CSR:
     m, n, nnz = EXAMPLE_SHAPES[name]
     kind = _STRUCTURE.get(name, "circuit")
     per_row = nnz / max(m, 1)

@@ -104,3 +104,20 @@ def test_benchmark_harness(csr_file, capsys):
     lines = [l for l in out.splitlines() if l.startswith("PERFORMANCE,") and "matrix,strategy" not in l]
     assert len(lines) == 2
     assert out.startswith("PERFORMANCE,matrix,strategy")
+
+
+def test_benchmark_external_engines(csr_file, capsys):
+    """The independent on-device engines (reference analog: the 6 external
+    comparators in benchmark/main.cpp:107-141): BCOO must golden-verify, the
+    dense anchor emits an equivalent-time row."""
+    from spmv_acc_tpu.cli.benchmark import main as bench_main
+
+    rc = bench_main([csr_file, "-f", "csr", "--iters", "3", "--warmups", "1",
+                     "--engines", "jax-sparse-bcoo,dense-mxu-anchor"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines()
+             if l.startswith("PERFORMANCE,") and "matrix,strategy" not in l]
+    assert len(lines) == 2
+    bcoo = next(l for l in lines if "jax-sparse-bcoo" in l)
+    assert bcoo.split(",")[-2] == "0"  # failed_count
