@@ -644,7 +644,8 @@ class _DeviceSwellPlan:
     rows/cols/chunks are node-granular, each slot carries r*r value planes, and x/y
     are sliced into r interleaved sub-vectors around the kernel."""
 
-    def __init__(self, plan: SwellPlan, dtype, r: int = 1, out_rows: int | None = None):
+    def __init__(self, plan: SwellPlan, dtype, r: int = 1, out_rows: int | None = None,
+                 np_buckets=None):
         self.plan = plan
         self.r = r
         self.out_rows = plan.rows * r if out_rows is None else out_rows
@@ -654,27 +655,22 @@ class _DeviceSwellPlan:
         self._host_buckets = plan.buckets  # for the interpret (native-dtype) path
         tv = plan.tail_v if self.dtype == np.float64 else plan.tail_v.astype(np.float32)
         self.tail = (jnp.asarray(plan.tail_rows), jnp.asarray(plan.tail_ci), jnp.asarray(tv))
-        self.buckets = []
-        for bk in plan.buckets:
-            # the plan materializes the f32 hi/lo planes directly
-            vals = (bk.vh, bk.vl) if self.dtype == np.float64 else (bk.vh,)
-            log2d = int(np.log2(bk.depth))
-            self.buckets.append(
-                dict(
-                    log2d=log2d,
-                    wide=bk.wide,
-                    dual=bool(bk.hasb.any()),
-                    classpos=bk.classpos,
-                    allout=bool(bk.touched.all()),
-                    packed=jnp.asarray(_pack_bucket(bk, vals, log2d)),
-                    csel=jnp.asarray(bk.chunksel),
-                    cselb=jnp.asarray(bk.chunkselb),
-                    hasb=jnp.asarray(bk.hasb),
-                    osel=jnp.asarray(bk.outsel),
-                    first=jnp.asarray(bk.first),
-                    touched=jnp.asarray(bk.touched),
-                )
+        if np_buckets is None:
+            np_buckets = _bucket_numpy(plan, self.dtype)
+        self.buckets = [
+            dict(
+                log2d=nb["log2d"], wide=nb["wide"], dual=nb["dual"],
+                classpos=nb["classpos"], allout=nb["allout"],
+                packed=jnp.asarray(nb["packed"]),
+                csel=jnp.asarray(nb["csel"]),
+                cselb=jnp.asarray(nb["cselb"]),
+                hasb=jnp.asarray(nb["hasb"]),
+                osel=jnp.asarray(nb["osel"]),
+                first=jnp.asarray(nb["first"]),
+                touched=jnp.asarray(nb["touched"]),
             )
+            for nb in np_buckets
+        ]
 
     def prep_x(self, x):
         """bf16 chunk planes for the TPU kernels (see _prep_x_pure)."""
@@ -698,6 +694,26 @@ def _pack32(rows_u8):
     ).view(np.int32)
 
 
+def _bucket_numpy(plan: SwellPlan, dtype):
+    """Per-bucket numpy arrays + static flags for the TPU path, pre device-put.
+    This is the serialization boundary for the plan disk cache."""
+    out = []
+    for bk in plan.buckets:
+        # the plan materializes the f32 hi/lo planes directly
+        vals = (bk.vh, bk.vl) if np.dtype(dtype) == np.float64 else (bk.vh,)
+        log2d = int(np.log2(bk.depth))
+        out.append(
+            dict(
+                log2d=log2d, wide=bool(bk.wide), dual=bool(bk.hasb.any()),
+                classpos=bool(bk.classpos), allout=bool(bk.touched.all()),
+                packed=_pack_bucket(bk, vals, log2d), csel=bk.chunksel,
+                cselb=bk.chunkselb, hasb=bk.hasb, osel=bk.outsel,
+                first=bk.first, touched=bk.touched,
+            )
+        )
+    return out
+
+
 def _pack_bucket(bk, vals, log2d):
     """Pack one bucket's per-step arrays into a single (nsteps, R, 128) int32
     buffer — ONE large DMA per grid step instead of five small ones (measured:
@@ -719,6 +735,88 @@ def _pack_bucket(bk, vals, log2d):
 
 _SWELL_CACHE: dict = {}
 
+# ---- plan disk cache ---------------------------------------------------------
+# Building a 40-65M-nnz plan costs ~1min of host scatters/copies; the packed
+# TPU arrays themselves load from disk in seconds.  The cache stores exactly the
+# arrays the TPU path consumes (_bucket_numpy layout + tail + plan scalars) —
+# the interpret path (CPU tests) still builds live, so it is only consulted on
+# a TPU backend (or when SPMV_TPU_PLAN_CACHE=1 forces it).  Best-effort: any
+# failure falls back to a live build.  Reference analog: the analyze pre-pass
+# whose cost csr_adaptive_plus profiles separately (csr_adaptive_plus_spmv.cpp:92-129)
+# — here it is additionally persisted across processes.
+_PLAN_CACHE_ABI = 1
+
+
+def _plan_cache_path(rp, ci, v, shape, dtype):
+    import os
+    import zlib
+
+    if os.environ.get("SPMV_TPU_NO_PLAN_CACHE"):
+        return None
+    if _interpret() and not os.environ.get("SPMV_TPU_PLAN_CACHE"):
+        return None
+    cdir = os.environ.get("SPMV_TPU_PLAN_CACHE_DIR", "/tmp/spmv_plans")
+    # content hash: strided samples (full arrays would cost another memory pass)
+    h = zlib.crc32(np.ascontiguousarray(rp[:: max(1, len(rp) // 8192)]).tobytes())
+    h = zlib.crc32(np.ascontiguousarray(ci[:: max(1, len(ci) // 65536)]).tobytes(), h)
+    h = zlib.crc32(np.ascontiguousarray(v[:: max(1, len(v) // 65536)]).view(np.uint8).tobytes(), h)
+    pins = ",".join(
+        f"{k}={os.environ.get(k, '')}"
+        for k in ("SPMV_TPU_FORCE_MERGE", "SPMV_TPU_FORCE_CPOS", "SPMV_TPU_NO_ABSORB",
+                  "SPMV_TPU_BSR", "SPMV_TPU_NO_BSR")
+    )
+    h = zlib.crc32(pins.encode(), h)
+    name = f"plan_v{_PLAN_CACHE_ABI}_{shape[0]}x{shape[1]}_{len(ci)}_{np.dtype(dtype).str.lstrip('<|')}_{h:08x}.npz"
+    return os.path.join(cdir, name)
+
+
+def _plan_cache_save(path, dp, np_buckets):
+    import os
+
+    p = dp.plan
+    payload = dict(
+        meta=np.array([dp.r, dp.out_rows, p.rows, p.cols, p.nnz, p.nout, p.nchunks,
+                       p.copies, p.tile_rb, p.delta, p.total_steps, len(np_buckets)],
+                      dtype=np.int64),
+        fill=np.float64(p.fill_efficiency),
+        tail_rows=p.tail_rows, tail_ci=p.tail_ci, tail_v=p.tail_v,
+    )
+    for i, nb in enumerate(np_buckets):
+        payload[f"b{i}_meta"] = np.array(
+            [nb["log2d"], nb["wide"], nb["dual"], nb["classpos"], nb["allout"]],
+            dtype=np.int64,
+        )
+        for n_ in ("packed", "csel", "cselb", "hasb", "osel", "first", "touched"):
+            payload[f"b{i}_{n_}"] = nb[n_]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+
+def _plan_cache_load(path, dtype):
+    z = np.load(path, allow_pickle=False)
+    (r, out_rows, rows, cols, nnz, nout, nchunks, copies, tile_rb, delta,
+     total_steps, nb) = (int(x) for x in z["meta"])
+    plan = SwellPlan(
+        buckets=(), rows=rows, cols=cols, nnz=nnz, nout=nout, nchunks=nchunks,
+        tail_rows=z["tail_rows"], tail_ci=z["tail_ci"], tail_v=z["tail_v"],
+        fill_efficiency=float(z["fill"]), total_steps=total_steps,
+        copies=copies, tile_rb=tile_rb, delta=delta,
+    )
+    np_buckets = []
+    for i in range(nb):
+        log2d, wide, dual, classpos, allout = (int(x) for x in z[f"b{i}_meta"])
+        np_buckets.append(
+            dict(log2d=log2d, wide=bool(wide), dual=bool(dual),
+                 classpos=bool(classpos), allout=bool(allout),
+                 **{n_: z[f"b{i}_{n_}"]
+                    for n_ in ("packed", "csel", "cselb", "hasb", "osel",
+                               "first", "touched")})
+        )
+    return _DeviceSwellPlan(plan, dtype, r=r, out_rows=out_rows, np_buckets=np_buckets)
+
 
 def get_swell_plan(csr, dtype) -> _DeviceSwellPlan:
     import os
@@ -730,6 +828,16 @@ def get_swell_plan(csr, dtype) -> _DeviceSwellPlan:
     if hit is not None and hit[0] is csr.row_ptr:
         return hit[1]
     rp, ci, v, shape = csr.to_numpy()
+    cpath = _plan_cache_path(rp, ci, v, shape, dtype)
+    if cpath is not None and os.path.exists(cpath):
+        try:
+            dp = _plan_cache_load(cpath, dtype)
+        except Exception:
+            dp = None  # stale/corrupt entry: rebuild below
+        if dp is not None:
+            dp.host_csr = (rp, ci, v)
+            _SWELL_CACHE[key] = (csr.row_ptr, dp)
+            return dp
     # BSR micro-block path: FEM/structural matrices built from r x r node blocks
     # (rows of a node share column sets) condense to a node pattern with 1/r^2 the
     # slots — the plan and all index machinery amortize r^2-fold (VERDICT round-1
@@ -745,9 +853,18 @@ def get_swell_plan(csr, dtype) -> _DeviceSwellPlan:
             rp_b, ci_b, vals2d = bsr_condense(rp, ci, v, shape, r)
             plan = build_swell_plan(rp_b, ci_b, vals2d,
                                     (len(rp_b) - 1, -(-shape[1] // r)))
-            dp = _DeviceSwellPlan(plan, dtype, r=r, out_rows=int(shape[0]))
+            out_rows = int(shape[0])
     if r <= 1:
-        dp = _DeviceSwellPlan(build_swell_plan(rp, ci, v, shape), dtype)
+        plan = build_swell_plan(rp, ci, v, shape)
+        out_rows = None
+    np_buckets = _bucket_numpy(plan, dtype)
+    dp = _DeviceSwellPlan(plan, dtype, r=r, out_rows=out_rows, np_buckets=np_buckets)
+    if cpath is not None:
+        try:
+            _plan_cache_save(cpath, dp, np_buckets)
+        except Exception:
+            pass  # cache is best-effort
+    del np_buckets
     # host CSR retained for the cancellation-refinement pass (tiny RAM rent
     # next to the device plan; avoids a full D2H of values/col_idx later)
     dp.host_csr = (rp, ci, v)
