@@ -48,7 +48,11 @@ from spmv_acc_tpu.utils.stats import (  # noqa: E402
 from spmv_acc_tpu.utils.verify import verify_y  # noqa: E402
 
 SMALL = ["rajat03", "poli_large", "dw4096", "bayer10", "epb1", "bcsstk18", "coater2", "nemeth03", "exdata_1", "af23560"]
-LARGE = ["largebasis", "Ga41As41H72", "TSOPF_RS_b2383", "boneS10", "Hardesty3"]
+# the reference's FULL 10-matrix large corpus (examples/large-data-set-batch.sh:24-51);
+# feasible in the driver budget since the corpus/plan disk caches cut per-matrix
+# host overhead from ~75s (generate + plan build) to seconds
+LARGE = ["largebasis", "Ga41As41H72", "TSOPF_RS_b2383", "boneS10", "Hardesty3",
+         "dielFilterV3real", "RM07R", "vas_stokes_2M", "Cube_Coup_dt6", "Bump_2911"]
 DTYPE = np.float64
 BASELINE_ROOFLINE = 0.80
 
