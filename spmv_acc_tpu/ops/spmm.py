@@ -32,22 +32,32 @@ def spmm_segment(alpha, beta, csr, X, Y, plan):
 
 
 def spmm_swell(alpha, beta, csr, X, Y):
-    """Column-wise SpMM through the swell Pallas kernel: one SpMV pass per RHS
-    column via ``lax.scan`` (plan arrays are loop-invariant; only x changes).
-    On TPU this is the only fast path for large irregular matrices — the
-    XLA gather behind ``spmm_segment`` costs ~140ns/ELEMENT (see PERF_NOTES)."""
-    from .swell import _bucket_args, _interpret, _statics, get_swell_plan, swell_ax
+    """Multi-RHS SpMM through the swell Pallas kernels: each packed grid step
+    reads its values+index buffer ONCE and serves a GROUP of RHS columns (one
+    table build / gather / fold per column off the shared one-hot and lidx), so
+    the dominant SpMV DMA bytes amortize across columns — the reason SpMM exists
+    on the MXU (SURVEY §7.0; the reference is SpMV-only).  Columns run in groups
+    of g = max(1, 8 // r) (VMEM / compile-size bound, overridable via
+    SPMV_TPU_SPMM_GROUP); the last group is zero-padded so every group reuses
+    one compiled shape."""
+    import os
+
+    from .swell import _bucket_args, _interpret, _statics, _swell_amx_jit, get_swell_plan
 
     dp = get_swell_plan(csr, csr.values.dtype)
     interp = _interpret()
     bargs = _bucket_args(dp, interp)
     statics = _statics(dp, interp)
-
-    def col(carry, xcol):
-        return carry, swell_ax(bargs, dp.tail, xcol, statics)
-
-    _, cols = jax.lax.scan(col, 0, X.T)
-    ax = cols.T.astype(csr.values.dtype)
+    k = X.shape[1]
+    g = int(os.environ.get("SPMV_TPU_SPMM_GROUP", "0")) or max(1, 8 // dp.r)
+    g = min(g, k)
+    outs = []
+    for c0 in range(0, k, g):
+        Xg = X[:, c0 : c0 + g]
+        if Xg.shape[1] < g:
+            Xg = jnp.pad(Xg, ((0, 0), (0, g - Xg.shape[1])))
+        outs.append(_swell_amx_jit(bargs, dp.tail, Xg, statics, g))
+    ax = jnp.concatenate(outs, axis=1)[: csr.rows, :k].astype(csr.values.dtype)
     return axpby_finish(alpha, beta, ax, Y)
 
 

@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .swell_plan import CHUNK_W, CW, LANES, ROUT, SwellPlan, build_swell_plan
 from .xla import axpby_finish
 
-__all__ = ["spmv_swell", "get_swell_plan", "swell_spmv_f32", "swell_spmv_f64"]
+__all__ = ["spmv_swell", "get_swell_plan", "swell_spmv_f32", "swell_spmv_f64",
+           "swell_amx"]
 
 _Z = np.int32(0)
 _HIGH = jax.lax.Precision.HIGHEST  # full-f32 passes — bit-exact for one-hot operands (Mosaic supports DEFAULT/HIGHEST only)
@@ -240,13 +241,22 @@ def _expand_tile(t, D, P):
     return jnp.broadcast_to(t[None], (D, P, 128)).reshape(128, 128)
 
 
-def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int = 1):
+def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int = 1,
+                     k: int = 1):
     """r = 1: scalar CSR step.  r > 1: BSR micro-block step — each slot holds an
     r x r dense block (nv = r*r value planes sharing ONE set of indices/one-hots),
     x is pre-sliced into r interleaved sub-vectors (x_j = x[j::r]) whose chunk
     planes stack along sublanes, and the step produces r output tiles (y_i =
-    y[i::r]).  The index/table machinery amortizes r*r-fold over the values."""
+    y[i::r]).  The index/table machinery amortizes r*r-fold over the values.
+
+    k > 1: SpMM — k RHS columns share the SAME value planes and index machinery;
+    x slice s = c*r + j holds column c's block-row-j sub-vector, and the step
+    produces r*k output tiles (tile t = c*r + i).  The packed values+index DMA
+    (the dominant bytes of SpMV) is read ONCE for all k columns — this is the
+    amortization the MXU SpMM exists for (SURVEY §7.0; the reference is
+    SpMV-only, BASELINE.json config 4 makes SpMM new scope)."""
     nv = r * r
+    S = r * k
     P, boff, ohw, nval, _ = _packed_rows(log2d, False, wide, nv)
     D = 1 << log2d
 
@@ -266,7 +276,7 @@ def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
         oh = _unpack_bytes(buf[nval + 32 : nval + 32 + ohw], 4 * ohw)
         rb = buf[nval + 32 + ohw : nval + 33 + ohw]
         pa_sets, pb_sets = [], ([] if dual else None)
-        for j in range(r):
+        for j in range(S):
             base = j * 3 * 128
             pa_sets.append([chunk_ref[0, base + i * 128 : base + (i + 1) * 128]
                             for i in range(3)])
@@ -275,18 +285,19 @@ def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
                                 for i in range(3)])
         pairs = _tables_dual(oh, pa_sets, pb_sets, hasb_r[s], ts_refs, P, D, wide)
         gs = []
-        for j in range(r):
+        for j in range(S):
             ta, tb = pairs[j]
             gs.append(_gather_sel(ta, tb, idx) if wide else _lane_gather(ta, idx))
         folded = []
-        for i in range(r):
-            p = vals[i * r] * gs[0]
-            for j in range(1, r):
-                p = p + vals[i * r + j] * gs[j]
-            for _ in range(log2d):
-                half = p.shape[0] // 2
-                p = p[:half] + p[half:]
-            folded.append(p)
+        for c in range(k):
+            for i in range(r):
+                p = vals[i * r] * gs[c * r]
+                for j in range(1, r):
+                    p = p + vals[i * r + j] * gs[c * r + j]
+                for _ in range(log2d):
+                    half = p.shape[0] // 2
+                    p = p[:half] + p[half:]
+                folded.append(p)
         if classpos and log2d == 0:
             # position == output row (P == ROUT): the scatter is the identity
             contribs = folded
@@ -303,14 +314,14 @@ def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
 
         @pl.when(first == 1)
         def _():
-            for i in range(r):
-                o_ref[0, i * ROUT : (i + 1) * ROUT] = contribs[i]
+            for t in range(r * k):
+                o_ref[0, t * ROUT : (t + 1) * ROUT] = contribs[t]
 
         @pl.when(first == 0)
         def _():
-            for i in range(r):
-                o_ref[0, i * ROUT : (i + 1) * ROUT] = (
-                    o_ref[0, i * ROUT : (i + 1) * ROUT] + contribs[i]
+            for t in range(r * k):
+                o_ref[0, t * ROUT : (t + 1) * ROUT] = (
+                    o_ref[0, t * ROUT : (t + 1) * ROUT] + contribs[t]
                 )
 
     return kernel
@@ -323,11 +334,14 @@ def _split(a):
     return hi, a - hi
 
 
-def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int = 1):
-    """Compensated two-f32 kernel; r > 1 is the BSR micro-block variant (see
-    _make_f32_kernel).  Output tile layout per block row i: hi rows
-    [i*2*ROUT, i*2*ROUT+ROUT), err rows [i*2*ROUT+ROUT, (i+1)*2*ROUT)."""
+def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int = 1,
+                     k: int = 1):
+    """Compensated two-f32 kernel; r > 1 is the BSR micro-block variant, k > 1 the
+    multi-RHS SpMM variant (see _make_f32_kernel).  Output tile layout per tile
+    t = c*r + i: hi rows [t*2*ROUT, t*2*ROUT+ROUT), err rows
+    [t*2*ROUT+ROUT, (t+1)*2*ROUT)."""
     nv = r * r
+    S = r * k
     P, boff, ohw, nval, _ = _packed_rows(log2d, True, wide, nv)
     D = 1 << log2d
 
@@ -351,7 +365,7 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
         rb = buf[nval + 32 + ohw : nval + 33 + ohw]
         sets_hi, sets_lo = [], []
         sets_hi_b, sets_lo_b = ([], []) if dual else (None, None)
-        for j in range(r):
+        for j in range(S):
             base = j * 6 * 128
             pj = [chunk_ref[0, base + i * 128 : base + (i + 1) * 128] for i in range(6)]
             sets_hi.append(pj[:3])
@@ -366,40 +380,43 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
             (sets_hi_b + sets_lo_b) if dual else None,
             hasb_r[s], ts_refs, P, D, wide,
         )
-        phs: list = [None] * r
-        pes: list = [None] * r
-        for j in range(r):
-            tha, thb = pairs[j]
-            tla, tlb = pairs[r + j]
-            if wide:
-                gh = _gather_sel(tha, thb, idx)
-                gl = _gather_sel(tla, tlb, idx)
-            else:
-                gh = _lane_gather(tha, idx)
-                gl = _lane_gather(tla, idx)
-            bh, bl = _split(gh)  # shared across the r block rows
-            for i in range(r):
-                v_h = vh[i * r + j]
-                v_l = vl[i * r + j]
-                # Dekker two_prod (FMA-free) + first-order cross terms
-                p = v_h * gh
-                ah, al = _split(v_h)
-                e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-                # all three cross terms: vl*gl is ~2^-48|p| — the same order as the
-                # representation floor, and heavy-cancellation rows (|y| ~ 1e-6|p|)
-                # sit within ~2x of the rel-1e-7 gate at 10^7 rows
-                e = e + (v_h * gl + (v_l * gh + v_l * gl))
-                if phs[i] is None:
-                    phs[i], pes[i] = p, e
+        phs: list = [None] * (r * k)
+        pes: list = [None] * (r * k)
+        for c in range(k):
+            for j in range(r):
+                sl = c * r + j
+                tha, thb = pairs[sl]
+                tla, tlb = pairs[S + sl]
+                if wide:
+                    gh = _gather_sel(tha, thb, idx)
+                    gl = _gather_sel(tla, tlb, idx)
                 else:
-                    # Knuth 2Sum accumulate across the block columns j
-                    a0 = phs[i]
-                    ssum = a0 + p
-                    bb = ssum - a0
-                    err = (a0 - (ssum - bb)) + (p - bb)
-                    phs[i] = ssum
-                    pes[i] = pes[i] + e + err
-        for i in range(r):
+                    gh = _lane_gather(tha, idx)
+                    gl = _lane_gather(tla, idx)
+                bh, bl = _split(gh)  # shared across the r block rows
+                for i in range(r):
+                    t = c * r + i
+                    v_h = vh[i * r + j]
+                    v_l = vl[i * r + j]
+                    # Dekker two_prod (FMA-free) + first-order cross terms
+                    p = v_h * gh
+                    ah, al = _split(v_h)
+                    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+                    # all three cross terms: vl*gl is ~2^-48|p| — the same order as the
+                    # representation floor, and heavy-cancellation rows (|y| ~ 1e-6|p|)
+                    # sit within ~2x of the rel-1e-7 gate at 10^7 rows
+                    e = e + (v_h * gl + (v_l * gh + v_l * gl))
+                    if phs[t] is None:
+                        phs[t], pes[t] = p, e
+                    else:
+                        # Knuth 2Sum accumulate across the block columns j
+                        a0 = phs[t]
+                        ssum = a0 + p
+                        bb = ssum - a0
+                        err = (a0 - (ssum - bb)) + (p - bb)
+                        phs[t] = ssum
+                        pes[t] = pes[t] + e + err
+        for i in range(r * k):
             p, e = phs[i], pes[i]
             # compensated contiguous-half fold: log2(D) levels.  Knuth 2Sum
             # (ordering-free; Fast2Sum needs |a|>=|b| which does not hold here).
@@ -425,18 +442,18 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
             pes = [_expand_tile(e, D, P) * mk for e in pes]
         else:
             outs = _scatter_exact(rb, tuple(phs) + tuple(pes), P)
-            phs, pes = list(outs[:r]), list(outs[r:])
+            phs, pes = list(outs[: r * k]), list(outs[r * k :])
         first = first_r[s]
 
         @pl.when(first == 1)
         def _():
-            for i in range(r):
+            for i in range(r * k):
                 o_ref[0, i * 2 * ROUT : i * 2 * ROUT + ROUT] = phs[i]
                 o_ref[0, i * 2 * ROUT + ROUT : (i + 1) * 2 * ROUT] = pes[i]
 
         @pl.when(first == 0)
         def _():
-            for i in range(r):
+            for i in range(r * k):
                 hi_sl = slice(i * 2 * ROUT, i * 2 * ROUT + ROUT)
                 er_sl = slice(i * 2 * ROUT + ROUT, (i + 1) * 2 * ROUT)
                 cur = o_ref[0, hi_sl]
@@ -466,8 +483,9 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
 #    hardware (bench.py golden verify + tools/verify_tpu.py).
 
 
-def _make_native_steps_kernel(log2d: int, wide: bool, dtype, r: int = 1):
+def _make_native_steps_kernel(log2d: int, wide: bool, dtype, r: int = 1, k: int = 1):
     nv = r * r
+    S = r * k
     P = 128 >> log2d
     D = 1 << log2d
 
@@ -490,7 +508,7 @@ def _make_native_steps_kernel(log2d: int, wide: bool, dtype, r: int = 1):
 
         idx = lidx_ref[0].astype(jnp.int32)
         gs = []
-        for j in range(r):
+        for j in range(S):
             # chunk-pair tables: the one-hot value encodes the side (1 = chunk a,
             # 2 = chunk b), and side-b entries are absent on single-chunk steps, so
             # the unconditional sum is exact (interpret path trades the cond for
@@ -507,21 +525,23 @@ def _make_native_steps_kernel(log2d: int, wide: bool, dtype, r: int = 1):
                 g = _lane_gather(ta, idx)
             gs.append(g)
         T = _build_T(rb_ref[0], P).astype(dtype)
-        for i in range(r):
-            p = vals_ref[0, i * r * 128 : (i * r + 1) * 128] * gs[0]
-            for j in range(1, r):
-                p = p + vals_ref[0, (i * r + j) * 128 : (i * r + j + 1) * 128] * gs[j]
-            for _ in range(log2d):
-                half = p.shape[0] // 2
-                p = p[:half] + p[half:]
-            o_ref[0, i * ROUT : (i + 1) * ROUT] = dot(T, p)
+        for c in range(k):
+            for i in range(r):
+                p = vals_ref[0, i * r * 128 : (i * r + 1) * 128] * gs[c * r]
+                for j in range(1, r):
+                    p = p + (vals_ref[0, (i * r + j) * 128 : (i * r + j + 1) * 128]
+                             * gs[c * r + j])
+                for _ in range(log2d):
+                    half = p.shape[0] // 2
+                    p = p[:half] + p[half:]
+                o_ref[0, (c * r + i) * ROUT : (c * r + i + 1) * ROUT] = dot(T, p)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("log2d", "wide", "nout", "r"))
+@functools.partial(jax.jit, static_argnames=("log2d", "wide", "nout", "r", "k"))
 def _call_native_interp_r(csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec,
-                          chunks, log2d, wide, nout, r):
+                          chunks, log2d, wide, nout, r, k=1):
     """Interpret-mode path: per-step outputs in the source dtype, summed exactly."""
     nv = r * r
     nsteps = vals.shape[0]
@@ -535,20 +555,20 @@ def _call_native_interp_r(csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec,
             pl.BlockSpec((1, 128, 128), spec3),
             pl.BlockSpec((1, oh.shape[1], 128), spec3),
             pl.BlockSpec((1, 1, 128), lambda s, *_: (s, _Z, _Z)),
-            pl.BlockSpec((1, r * 128, 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
-            pl.BlockSpec((1, r * 128, 128),
+            pl.BlockSpec((1, r * k * 128, 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+            pl.BlockSpec((1, r * k * 128, 128),
                          lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)),
         ],
-        out_specs=pl.BlockSpec((1, r * ROUT, 128), spec3),
+        out_specs=pl.BlockSpec((1, r * k * ROUT, 128), spec3),
     )
     per_step = pl.pallas_call(
-        _make_native_steps_kernel(log2d, wide, dtype, r),
+        _make_native_steps_kernel(log2d, wide, dtype, r, k),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nsteps, r * ROUT, 128), dtype),
+        out_shape=jax.ShapeDtypeStruct((nsteps, r * k * ROUT, 128), dtype),
         interpret=True,
     )(csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, chunks, chunks)
     return jax.ops.segment_sum(per_step.reshape(nsteps, -1), osel, num_segments=nout).reshape(
-        nout, r * ROUT, 128
+        nout, r * k * ROUT, 128
     )
 
 
@@ -560,7 +580,7 @@ def _ts_rows(log2d: int, wide: bool) -> int:
 
 
 def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
-              interpret, dual=True, classpos=False, r=1):
+              interpret, dual=True, classpos=False, r=1, k=1):
     nsteps = packed.shape[0]
     in_specs = [
         pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
@@ -573,23 +593,23 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
         num_scalar_prefetch=5,
         grid=(nsteps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, r * ROUT, 128),
+        out_specs=pl.BlockSpec((1, r * k * ROUT, 128),
                                lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
         scratch_shapes=[pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32)
-                        for _ in range(r)]
+                        for _ in range(r * k)]
         if dual else [],
     )
     args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ())
     return pl.pallas_call(
-        _make_f32_kernel(log2d, wide, dual, classpos, r),
+        _make_f32_kernel(log2d, wide, dual, classpos, r, k),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nout, r * ROUT, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nout, r * k * ROUT, 128), jnp.float32),
         interpret=interpret,
     )(*args)
 
 
 def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
-              interpret, dual=True, classpos=False, r=1):
+              interpret, dual=True, classpos=False, r=1, k=1):
     nsteps = packed.shape[0]
     if not dual:
         # exact legacy 3-scalar call for single-chunk buckets (A/B: isolate scalar count)
@@ -600,14 +620,14 @@ def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
                 pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
                 pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
             ],
-            out_specs=pl.BlockSpec((1, 2 * r * ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
+            out_specs=pl.BlockSpec((1, 2 * r * k * ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
         )
         def k3(csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref):
-            return _make_f64_kernel(log2d, wide, False, classpos, r)(
+            return _make_f64_kernel(log2d, wide, False, classpos, r, k)(
                 csel_r, csel_r, csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref)
         return pl.pallas_call(
             k3, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nout, 2 * r * ROUT, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((nout, 2 * r * k * ROUT, 128), jnp.float32),
             interpret=interpret,
         )(csel, osel, first, packed, chunks)
     in_specs = [
@@ -621,18 +641,18 @@ def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
         num_scalar_prefetch=5,
         grid=(nsteps,),
         in_specs=in_specs,
-        # hi + err rows of all r block rows in ONE block: one write-back DMA
-        out_specs=pl.BlockSpec((1, 2 * r * ROUT, 128),
+        # hi + err rows of all r*k output tiles in ONE block: one write-back DMA
+        out_specs=pl.BlockSpec((1, 2 * r * k * ROUT, 128),
                                lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
         scratch_shapes=[pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32)
-                        for _ in range(2 * r)]
+                        for _ in range(2 * r * k)]
         if dual else [],
     )
     args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ())
     return pl.pallas_call(
-        _make_f64_kernel(log2d, wide, dual, classpos, r),
+        _make_f64_kernel(log2d, wide, dual, classpos, r, k),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nout, 2 * r * ROUT, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nout, 2 * r * k * ROUT, 128), jnp.float32),
         interpret=interpret,
     )(*args)
 
@@ -935,16 +955,19 @@ def _bf16_planes(xf32, k):
     return planes
 
 
-def _prep_x_pure(x, nchunks, is64, native, delta=0, r=1):
+def _prep_x_pure(x, nchunks, is64, native, delta=0, r=1, k=1):
     """Chunk planes of x, front-padded by the plan's column phase shift delta.
 
     r > 1 (BSR): x is sliced into r interleaved sub-vectors x_j = x[j::r] (node
     granularity), each plane-split independently; slices stack along sublanes so a
     chunk block holds slice j's planes at rows [j*K*128, (j+1)*K*128) (K = planes
-    per slice: 1 native, 3 f32, 6 f64)."""
+    per slice: 1 native, 3 f32, 6 f64).
+
+    k > 1 (SpMM): x is (n, k); slice s = c*r + j holds column c's block-row-j
+    sub-vector X[j::r, c] — the layout the multi-RHS kernels index by c*r + j."""
     n_pad = nchunks * CHUNK_W * CW
     shape = (nchunks, CHUNK_W, CW)
-    if r == 1:
+    if r == 1 and k == 1:
         if native:
             dt = jnp.float64 if is64 else jnp.float32
             xp = jnp.zeros((n_pad,), dt).at[delta : delta + x.shape[0]].set(x.astype(dt))
@@ -965,28 +988,31 @@ def _prep_x_pure(x, nchunks, is64, native, delta=0, r=1):
             x.astype(jnp.float32)
         ).reshape(shape)
         return jnp.concatenate(_bf16_planes(xp, 3), axis=1)
-    # BSR: pad to whole nodes, split into (node, within-node) and shift by the
-    # node-level delta
-    nbr = -(-x.shape[0] // r)
-    xs = jnp.zeros((nbr * r,), x.dtype).at[: x.shape[0]].set(x).reshape(nbr, r)
+    # BSR and/or SpMM: pad rows to whole nodes, slice into S = r*k sub-vectors
+    # (slice s = c*r + j), shift by the node-level delta
+    S = r * k
+    X2 = x if x.ndim == 2 else x[:, None]  # (n, k)
+    nbr = -(-X2.shape[0] // r)
+    xs = jnp.zeros((nbr * r, k), X2.dtype).at[: X2.shape[0]].set(X2).reshape(nbr, r, k)
+    xs = xs.transpose(0, 2, 1).reshape(nbr, S)  # column s = c*r + j
 
     def stack_slices(planes):
-        # planes: list of (n_pad, r) arrays -> (nchunks, r*K*128, 128) slice-major
-        st = jnp.stack(planes)  # (K, n_pad, r)
-        arr = st.transpose(2, 0, 1).reshape(r, len(planes), nchunks, CHUNK_W, CW)
+        # planes: list of (n_pad, S) arrays -> (nchunks, S*K*128, 128) slice-major
+        st = jnp.stack(planes)  # (K, n_pad, S)
+        arr = st.transpose(2, 0, 1).reshape(S, len(planes), nchunks, CHUNK_W, CW)
         return arr.transpose(2, 0, 1, 3, 4).reshape(nchunks, -1, CW)
 
     if native:
         dt = jnp.float64 if is64 else jnp.float32
-        X = jnp.zeros((n_pad, r), dt).at[delta : delta + nbr].set(xs.astype(dt))
+        X = jnp.zeros((n_pad, S), dt).at[delta : delta + nbr].set(xs.astype(dt))
         return (stack_slices([X]),)
     if is64:
-        X64 = jnp.zeros((n_pad, r), jnp.float64).at[delta : delta + nbr].set(
+        X64 = jnp.zeros((n_pad, S), jnp.float64).at[delta : delta + nbr].set(
             xs.astype(jnp.float64))
         Xh = X64.astype(jnp.float32)
         Xl = (X64 - Xh.astype(jnp.float64)).astype(jnp.float32)
         return stack_slices(_bf16_planes(Xh, 3) + _bf16_planes(Xl, 3))
-    X = jnp.zeros((n_pad, r), jnp.float32).at[delta : delta + nbr].set(
+    X = jnp.zeros((n_pad, S), jnp.float32).at[delta : delta + nbr].set(
         xs.astype(jnp.float32))
     return stack_slices(_bf16_planes(X, 3))
 
@@ -1043,7 +1069,63 @@ def swell_ax(bargs, tail, x, statics):
     return y
 
 
+def swell_amx(bargs, tail, X, statics, k):
+    """Pure A@X over the swell plan — multi-RHS SpMM, X of shape (n, k).
+
+    Each grid step reads the packed values+index buffer ONCE and serves all k
+    columns (k table builds / gathers / folds off the same one-hot and lidx),
+    so the dominant DMA bytes of SpMV amortize k-fold.  Layout mirrors
+    ``swell_ax`` with an extra leading k axis on the output tiles."""
+    is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r = statics
+    out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
+    if not bargs:
+        y = jnp.zeros((rows, k), out_dt)
+    else:
+        chunks = _prep_x_pure(X, nchunks, is64, native=interp, delta=delta, r=r, k=k)
+        total = None
+        for ba, (log2d, wide, dual, classpos, allout) in zip(bargs, log2ds):
+            if interp:
+                csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
+                o = _call_native_interp_r(csel, cselb, hasb, osel, first, vals,
+                                          lidx, oh, rbvec, chunks[0], log2d, wide,
+                                          nout, r, k)
+                o = o.reshape(nout, k, r, ROUT, 128)
+                part = o if is64 else o.astype(jnp.float32)
+            elif is64:
+                csel, cselb, hasb, osel, first, packed, touched = ba
+                o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
+                              log2d, wide, nout, False, dual, classpos, r, k)
+                o = o.reshape(nout, k, r, 2, ROUT, 128)
+                hi, er = o[:, :, :, 0], o[:, :, :, 1]
+                if allout:
+                    part = hi.astype(jnp.float64) + er.astype(jnp.float64)
+                else:
+                    mask = touched[:, None, None, None, None]
+                    part = jnp.where(mask, hi, 0.0).astype(jnp.float64) + jnp.where(
+                        mask, er, 0.0
+                    ).astype(jnp.float64)
+            else:
+                csel, cselb, hasb, osel, first, packed, touched = ba
+                o = _call_f32(csel, cselb, hasb, osel, first, packed, chunks,
+                              log2d, wide, nout, False, dual, classpos, r, k)
+                o = o.reshape(nout, k, r, ROUT, 128)
+                part = o if allout else jnp.where(touched[:, None, None, None, None], o, 0.0)
+            total = part if total is None else total + part
+        # (nout, k, r, ROUT, 128): sum output-row copies, then interleave the r
+        # block-row slices back (actual row = node*r + i), k as trailing axis
+        total = total.reshape(nout, k, r, tile_rb, copies, 128).sum(axis=4)
+        y = total.transpose(0, 3, 4, 2, 1).reshape(-1, k)[:rows].astype(out_dt)
+    trows, tci, tv = tail
+    if trows.shape[0] > 0:
+        y = y + jax.ops.segment_sum(
+            tv.astype(out_dt)[:, None] * X[tci].astype(out_dt), trows,
+            num_segments=rows,
+        )
+    return y
+
+
 _swell_ax_jit = jax.jit(swell_ax, static_argnames=("statics",))
+_swell_amx_jit = jax.jit(swell_amx, static_argnames=("statics", "k"))
 
 
 def swell_spmv_f32(dp: _DeviceSwellPlan, x):

@@ -42,6 +42,38 @@ def test_spmm_matches_golden(strategy):
     assert rep.ok, rep
 
 
+def test_spmm_swell_multirhs_groups(monkeypatch):
+    """Grouped multi-RHS kernel: k=5 with group 2 exercises zero-padding of the
+    last group and the k>1 x-slice layout (slice s = c*r + j)."""
+    monkeypatch.setenv("SPMV_TPU_SPMM_GROUP", "2")
+    csr = random_csr(60, 50, 600, seed=36)
+    rng = np.random.default_rng(8)
+    X = rng.random((50, 5))
+    Y = rng.random((60, 5))
+    golden = host_spmm(2.0, 0.5, *csr.to_numpy()[:3], X, Y)
+    out = spmm(csr, jnp.asarray(X), jnp.asarray(Y), alpha=2.0, beta=0.5, strategy="swell")
+    rep = verify_y(np.asarray(out).ravel(), golden.ravel())
+    assert rep.ok, rep
+
+
+def test_spmm_swell_bsr_combined(monkeypatch):
+    """BSR micro-block (r=3) x multi-RHS (k=5): the kernel runs r*k x-slices per
+    step with groups of max(1, 8 // r) = 2 columns."""
+    monkeypatch.setenv("SPMV_TPU_BSR", "3")
+    monkeypatch.setenv("SPMV_TPU_NO_PLAN_CACHE", "1")
+    csr = banded_csr(100, bandwidth=4, seed=37)
+    rng = np.random.default_rng(9)
+    X = rng.random((100, 5))
+    Y = rng.random((100, 5))
+    golden = host_spmm(1.0, 0.0, *csr.to_numpy()[:3], X, Y)
+    out = spmm(csr, jnp.asarray(X), jnp.asarray(Y), strategy="swell")
+    rep = verify_y(np.asarray(out).ravel(), golden.ravel())
+    assert rep.ok, rep
+    from spmv_acc_tpu.ops.swell import get_swell_plan
+
+    assert get_swell_plan(csr, np.float64).r == 3
+
+
 def test_bsr_spmv_matches_dense():
     csr = random_csr(32, 48, 300, seed=32)
     bsr = csr_to_bsr(csr, blocksize=(8, 16))
