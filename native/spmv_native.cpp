@@ -408,7 +408,79 @@ int32_t bsr_fill(const int64_t* rp, const int32_t* ci, const double* v,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// ILU(0) factorization — in-pattern incomplete LU, classic IKJ with a sorted
+// two-pointer row merge (columns are sorted per CSR row, so the "U(k, j) for j
+// in row i's pattern" intersection is a linear merge instead of a hash probe).
+// Sequential across rows by data flow (the reference's factorization analog
+// lives host-side too).  lu holds a copy of values on entry; on exit strictly-
+// lower entries hold L (unit diag implicit), diagonal + upper hold U.
+// Returns 0, or -(i+1) if row i lacks a diagonal entry.
+// ---------------------------------------------------------------------------
+int64_t ilu0_factor(const int64_t* rp, const int32_t* ci, double* lu,
+                    int64_t m) {
+  std::vector<int64_t> diag(m, -1);
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < m; ++i)
+    for (int64_t p = rp[i]; p < rp[i + 1]; ++p)
+      if (ci[p] == i) { diag[i] = p; break; }
+  for (int64_t i = 0; i < m; ++i)
+    if (diag[i] < 0) return -(i + 1);
+  for (int64_t i = 0; i < m; ++i) {
+    for (int64_t p = rp[i]; p < rp[i + 1]; ++p) {
+      const int64_t k = ci[p];
+      if (k >= i) break;
+      const double lik = lu[p] / lu[diag[k]];
+      lu[p] = lik;
+      int64_t q = p + 1, s = diag[k] + 1;
+      const int64_t qe = rp[i + 1], se = rp[k + 1];
+      while (q < qe && s < se) {
+        const int32_t cq = ci[q], cs = ci[s];
+        if (cq == cs) { lu[q] -= lik * lu[s]; ++q; ++s; }
+        else if (cq < cs) ++q;
+        else ++s;
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Dependency levels for a level-scheduled triangular solve: level[i] =
+// 1 + max(level[j]) over off-diagonal deps j (j < i lower / j > i upper).
+// One sequential O(nnz) pass (forward for lower, backward for upper).
+// Returns the number of levels (max level + 1), or 0 when m == 0.
+// ---------------------------------------------------------------------------
+int64_t trisolve_levels(const int64_t* rp, const int32_t* ci, int64_t m,
+                        int32_t lower, int32_t* level) {
+  int32_t maxl = -1;
+  if (lower) {
+    for (int64_t i = 0; i < m; ++i) {
+      int32_t lv = 0;
+      for (int64_t p = rp[i]; p < rp[i + 1]; ++p) {
+        const int64_t j = ci[p];
+        if (j < i && level[j] + 1 > lv) lv = level[j] + 1;
+      }
+      level[i] = lv;
+      if (lv > maxl) maxl = lv;
+    }
+  } else {
+    for (int64_t i = m - 1; i >= 0; --i) {
+      int32_t lv = 0;
+      for (int64_t p = rp[i]; p < rp[i + 1]; ++p) {
+        const int64_t j = ci[p];
+        if (j > i && level[j] + 1 > lv) lv = level[j] + 1;
+      }
+      level[i] = lv;
+      if (lv > maxl) maxl = lv;
+    }
+  }
+  return (int64_t)maxl + 1;
+}
+
 // Version marker for the ctypes loader.
-int32_t spmv_native_abi_version() { return 4; }
+int32_t spmv_native_abi_version() { return 5; }
 
 }  // extern "C"

@@ -18,7 +18,8 @@ import threading
 import numpy as np
 
 __all__ = ["get_lib", "parse_doubles", "coo_to_csr_native", "tile_analyze_native",
-           "swell_analyze_native", "bsr_condense_native", "available"]
+           "swell_analyze_native", "bsr_condense_native", "ilu0_factor_native",
+           "trisolve_levels_native", "available"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libspmv_native.so")
@@ -27,7 +28,7 @@ _lib = None
 _tried = False
 
 
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 
 def _build(force: bool = False) -> bool:
@@ -89,6 +90,8 @@ def get_lib():
             lib.swell_analyze.restype = ctypes.c_int64
             lib.bsr_count.restype = ctypes.c_int64
             lib.bsr_fill.restype = ctypes.c_int32
+            lib.ilu0_factor.restype = ctypes.c_int64
+            lib.trisolve_levels.restype = ctypes.c_int64
             _lib = lib
         except OSError:
             _lib = None
@@ -254,3 +257,41 @@ def bsr_condense_native(rp, ci, v, m, r, mb):
     if rc != 0:
         return None
     return rpb, cib, vals2d
+
+
+def ilu0_factor_native(rp, ci, values, m):
+    """Native in-pattern ILU(0).  Returns the combined LU value array (f64, same
+    CSR pattern) or None (library absent / missing diagonal)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rp = np.ascontiguousarray(rp, dtype=np.int64)
+    ci = np.ascontiguousarray(ci, dtype=np.int32)
+    lu = np.array(values, dtype=np.float64, copy=True)
+    rc = lib.ilu0_factor(
+        rp.ctypes.data_as(ctypes.c_void_p),
+        ci.ctypes.data_as(ctypes.c_void_p),
+        lu.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(m),
+    )
+    if rc < 0:
+        raise ValueError(f"ILU(0) requires a full diagonal; row {-rc - 1} has none")
+    return lu
+
+
+def trisolve_levels_native(rp, ci, m, lower):
+    """Native dependency-level pass.  Returns (level int32 (m,), num_levels) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rp = np.ascontiguousarray(rp, dtype=np.int64)
+    ci = np.ascontiguousarray(ci, dtype=np.int32)
+    level = np.zeros(m, dtype=np.int32)
+    nl = lib.trisolve_levels(
+        rp.ctypes.data_as(ctypes.c_void_p),
+        ci.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(m),
+        ctypes.c_int32(1 if lower else 0),
+        level.ctypes.data_as(ctypes.c_void_p),
+    )
+    return level, max(int(nl), 1)
