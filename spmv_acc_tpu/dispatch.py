@@ -152,8 +152,9 @@ def _run(strategy: str, alpha, beta, csr: CSR, x, y, plan: Plan):
 # DEFAULT->default, THREAD_ROW->thread_row, WF_ROW->wf_row, BLOCK_ROW_ORDINARY->
 # block_row, LIGHT->light, VECTOR_ROW->vector_row, LINE->line, LINE_ENHANCE->
 # line_enhance, FLAT->flat, ADAPTIVE->adaptive, CSR_ADAPTIVE_PLUS->adaptive_plus
-# (+ swell and ell as TPU-native additions)
-_ZOO = {"thread_row", "wf_row", "block_row", "light", "line_enhance"}
+# (+ swell and ell as TPU-native additions; + acsr from the reference's
+# benchmark tree, benchmark/acsr/ACSR.cpp:130-216 — log-scale row-length bins)
+_ZOO = {"thread_row", "wf_row", "block_row", "light", "line_enhance", "acsr"}
 STRATEGIES = {
     "adaptive", "default", "line", "ell", "flat", "vector_row",
     "adaptive_plus", "swell",

@@ -47,6 +47,7 @@ __all__ = [
     "spmv_block_row",
     "spmv_light",
     "spmv_line_enhance",
+    "spmv_acsr",
 ]
 
 _PACK_CACHE: dict = {}
@@ -173,6 +174,72 @@ def spmv_light(alpha, beta, csr, x, y, plan=None):
         ax = _reduce_flat(cols, vals, x)
     else:
         ax = _reduce_staged(cols, vals, x, w)
+    return axpby_finish(alpha, beta, _add_tail(ax, tail, x, csr.rows), y)
+
+
+def _acsr_bins(csr):
+    """Log-scale row-length binning (ACSR analog, benchmark/acsr/ACSR.cpp:130-216,
+    bins at :51-75): rows land in bin b when 2^(b-1) < len <= 2^b, and each bin
+    packs its rows densely at width exactly 2^b.  Total pack memory is <= 2*nnz
+    regardless of the length distribution — the fix for the global-max padding
+    that power-law matrices blow up (one dense row no longer densifies every
+    row).  Over-cap rows spill their excess into the shared COO tail like the
+    other zoo members."""
+    key = (id(csr.row_ptr), csr.shape, csr.nnz, "acsr", str(csr.values.dtype))
+    hit = _PACK_CACHE.get(key)
+    if hit is not None and hit[0] is csr.row_ptr:
+        return hit[1]
+    rp, ci, v, (m, n) = csr.to_numpy()
+    lens = np.diff(rp)
+    widths = np.maximum(1, np.int64(1) << np.maximum(
+        0, np.ceil(np.log2(np.maximum(lens, 1))).astype(np.int64)))
+    widths = np.minimum(widths, _WIDTH_CAP)
+    rows_all = np.repeat(np.arange(m), lens)
+    slots = np.arange(len(rows_all)) - np.repeat(rp[:-1], lens)
+    over = slots >= widths[rows_all]
+    tail = _empty_tail(v.dtype)
+    if over.any():
+        tail = (
+            jnp.asarray(rows_all[over].astype(np.int32)),
+            jnp.asarray(ci[over].astype(np.int32)),
+            jnp.asarray(v[over]),
+        )
+        keep = ~over
+        rows_all, slots, ci, v = rows_all[keep], slots[keep], ci[keep], v[keep]
+    bins = []
+    for w in np.unique(widths):
+        sel_rows = np.flatnonzero(widths == w)
+        inbin = np.isin(rows_all, sel_rows)
+        rnew = np.searchsorted(sel_rows, rows_all[inbin])
+        cols = np.zeros((len(sel_rows), int(w)), dtype=np.int32)
+        vals = np.zeros((len(sel_rows), int(w)), dtype=v.dtype)
+        cols[rnew, slots[inbin]] = ci[inbin]
+        vals[rnew, slots[inbin]] = v[inbin]
+        bins.append((jnp.asarray(sel_rows.astype(np.int32)), jnp.asarray(cols),
+                     jnp.asarray(vals), int(w)))
+    out = (bins, tail)
+    _PACK_CACHE[key] = (csr.row_ptr, out)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("m", "ws"))
+def _acsr_reduce(bin_arrays, x, m, ws):
+    ax = jnp.zeros((m,), x.dtype)
+    for (rows_b, cols, vals), w in zip(bin_arrays, ws):
+        part = _reduce_flat(cols, vals, x) if w <= 2 else _reduce_staged(
+            cols, vals, x, min(w, 128))
+        ax = ax.at[rows_b].set(part.astype(x.dtype))
+    return ax
+
+
+def spmv_acsr(alpha, beta, csr, x, y, plan=None):
+    """ACSR analog (benchmark/acsr/ACSR.cpp:130-216): one specialized reduce per
+    log-scale row-length bin — the binned answer to load imbalance, vs LIGHT's
+    single heuristic width.  <= log2(cap)+1 bins, each a dense (mb, 2^b) reduce."""
+    bins, tail = _acsr_bins(csr)
+    bin_arrays = tuple((rb, cols, vals) for rb, cols, vals, _ in bins)
+    ws = tuple(w for *_, w in bins)
+    ax = _acsr_reduce(bin_arrays, x, csr.rows, ws)
     return axpby_finish(alpha, beta, _add_tail(ax, tail, x, csr.rows), y)
 
 

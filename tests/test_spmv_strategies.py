@@ -28,7 +28,7 @@ MATRICES = {
 }
 
 STRATEGIES = ["default", "line", "ell", "flat", "vector_row",
-              "thread_row", "wf_row", "block_row", "light", "line_enhance"]
+              "thread_row", "wf_row", "block_row", "light", "line_enhance", "acsr"]
 
 
 @pytest.mark.parametrize("matrix_name", sorted(MATRICES))
@@ -98,7 +98,7 @@ def test_float32_path():
     assert rep.ok, rep
 
 
-@pytest.mark.parametrize("strategy", ["thread_row", "wf_row", "block_row", "light"])
+@pytest.mark.parametrize("strategy", ["thread_row", "wf_row", "block_row", "light", "acsr"])
 def test_zoo_dense_row_spill(strategy):
     """A single 100k-nnz row must NOT make the zoo pack O(m * 100k): rows past
     the width cap spill to a COO tail (the reference's long-row fallback spirit,
