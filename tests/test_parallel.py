@@ -194,3 +194,33 @@ def test_dist_swell_cg_solve():
     x = np.asarray(res.x)[:m]
     assert float(res.residual_norm) <= 1e-10 * max(float(np.linalg.norm(b)), 1.0)
     assert np.linalg.norm(x - x_true) / np.linalg.norm(x_true) < 1e-7
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_hybrid_mesh_spmv_matches_golden(shape):
+    """Hybrid DCN x ICI mesh: the two-stage all-gather (ici then dcn) must
+    reproduce the flat gather's result for every grid factoring."""
+    from spmv_acc_tpu.parallel.multihost import (dist_spmv_hier, hybrid_mesh,
+                                                 shard_partitioned_hier)
+
+    csr = powerlaw_csr(96, 96, avg_nnz=7, seed=51)
+    m, n = csr.shape
+    x, _ = random_x_y(n, m, seed=52)
+    golden = host_spmv_plain(*csr.to_numpy()[:3], x)
+    dcn, ici = shape
+    mesh = hybrid_mesh(dcn=dcn, ici=ici)
+    part = partition_rows(csr, dcn * ici)
+    part = shard_partitioned_hier(part, mesh)
+    y = unpad_y(part, dist_spmv_hier(part, jnp.asarray(x), mesh=mesh))
+    assert verify_y(np.asarray(y), golden).ok
+
+
+def test_init_distributed_single_process():
+    """Without a coordinator or cluster env the bootstrap is a no-op returning
+    the single-process context."""
+    from spmv_acc_tpu.parallel.multihost import init_distributed
+
+    ctx = init_distributed()
+    assert not ctx.initialized
+    assert ctx.process_count == 1 and ctx.process_index == 0
+    assert ctx.global_device_count == 8  # the virtual CPU mesh
