@@ -148,11 +148,45 @@ def bench_matrix(name: str, log):
         file=log,
         flush=True,
     )
-    return frac, gflops, rep.ok, rep_raw.ok
+    return frac, gflops, rep.ok, rep_raw.ok, per_us
 
 
 def geomean(vals):
     return float(np.exp(np.mean(np.log(np.maximum(vals, 1e-9))))) if vals else 0.0
+
+
+SPMM_MATRICES = ["TSOPF_RS_b2383", "boneS10"]
+SPMM_K = 8
+
+
+def bench_spmm(name: str, spmv_per_us: float, log):
+    """k-column SpMM vs k chained SpMVs (multi-RHS amortization of the
+    values+index DMA; new scope — the reference is SpMV-only).  Returns the
+    speedup of one SpMM iteration over k SpMV iterations."""
+    from spmv_acc_tpu.ops.swell import make_swell_amx_run
+
+    csr = example_like(name, dtype=DTYPE)
+    m, n = csr.shape
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.uniform(-1, 1, size=(n, SPMM_K)).astype(DTYPE))
+    run = make_swell_amx_run(csr, SPMM_K)
+    iters = max(16, _iters_for(csr.nnz) // SPMM_K)
+
+    def once(nn):
+        t = time.perf_counter()
+        r = run(X, nn)
+        np.asarray(jax.device_get(r.ravel()[:1]))
+        return time.perf_counter() - t
+
+    n0, n1 = 1 + iters // 4, 1 + iters
+    once(n0); once(n1)
+    lo = min(once(n0) for _ in range(3))
+    hi = min(once(n1) for _ in range(3))
+    per_us = max(hi - lo, 0.0) / (n1 - n0) * 1e6
+    speedup = SPMM_K * spmv_per_us / per_us if per_us > 0 else 0.0
+    print(f"  spmm {name}: k={SPMM_K} {per_us:.1f}us/iter vs {SPMM_K}x{spmv_per_us:.1f}us "
+          f"chained SpMV -> speedup {speedup:.2f}x", file=log, flush=True)
+    return speedup
 
 
 def main():
@@ -162,10 +196,12 @@ def main():
     results = {}
     all_ok = True
     raw_ok = True
+    per_us_by_name = {}
     for name in SMALL + LARGE:
         try:
-            frac, gf, ok, rok = bench_matrix(name, log)
+            frac, gf, ok, rok, per_us = bench_matrix(name, log)
             results[name] = (frac, gf)
+            per_us_by_name[name] = per_us
             all_ok &= ok
             raw_ok &= rok
         except Exception as e:  # keep the harness robust (csr_spmv.hpp:52-62 analog)
@@ -181,6 +217,17 @@ def main():
             _d._FN_CACHE.clear()
             _d._ELL_CACHE.clear()
             _p.clear_plan_cache()
+    spmm_speedups = []
+    for name in SPMM_MATRICES:
+        if per_us_by_name.get(name, 0) > 0:
+            try:
+                spmm_speedups.append(bench_spmm(name, per_us_by_name[name], log))
+            except Exception as e:
+                print(f"  spmm {name}: ERROR {type(e).__name__}: {e}", file=log, flush=True)
+            finally:
+                from spmv_acc_tpu.ops import swell as _s2
+
+                _s2._SWELL_CACHE.clear()
     large_fracs = [results[n][0] for n in LARGE if n in results]
     small_fracs = [results[n][0] for n in SMALL if n in results]
     if not large_fracs and not small_fracs:
@@ -205,6 +252,8 @@ def main():
         "gflops_geomean_large": round(geomean([results[n][1] for n in LARGE if n in results]), 2),
         "corpus": len(results),
     }
+    if spmm_speedups:
+        result["spmm_k8_speedup_geomean"] = round(geomean(spmm_speedups), 2)
     print(json.dumps(result))
     return 0
 

@@ -1211,6 +1211,44 @@ def _swell_power_run(bargs, tail, x, y, alpha, beta, n, statics):
     return jax.lax.fori_loop(0, n, body, x)
 
 
+@functools.partial(jax.jit, static_argnames=("statics", "k", "g"))
+def _swell_amx_power_run(bargs, tail, X, n, statics, k, g):
+    """n chained SpMM steps on device (bench: the A@X analog of _swell_power_run;
+    the feedback multiplier prevents loop hoisting, perturbs X by ~1e-30).
+    Columns run in groups of g per kernel call, like spmm_swell."""
+
+    def body(i, XX):
+        parts = [swell_amx(bargs, tail,
+                           jax.lax.slice_in_dim(XX, c0, c0 + g, axis=1),
+                           statics, g)
+                 for c0 in range(0, k, g)]
+        AX = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        return XX * (1.0 + jnp.mean(AX * AX) * 1e-30)
+
+    return jax.lax.fori_loop(0, n, body, X)
+
+
+def make_swell_amx_run(csr, k: int):
+    """Bench helper: run(X, n) executes n chained k-column SpMM iterations in one
+    device program (square matrices: X feeds back through the result scale).
+    Requires k to be a multiple of the column group size."""
+    import os
+
+    dp = get_swell_plan(csr, csr.values.dtype)
+    interp = _interpret()
+    bargs = _bucket_args(dp, interp)
+    statics = _statics(dp, interp)
+    g = int(os.environ.get("SPMV_TPU_SPMM_GROUP", "0")) or max(1, 8 // dp.r)
+    g = min(g, k)
+    while k % g:
+        g -= 1
+
+    def run(X, n):
+        return _swell_amx_power_run(bargs, dp.tail, X, n, statics, k, g)
+
+    return run
+
+
 def make_swell_run(csr, alpha=1.0, beta=1.0):
     """Bench helper: returns run(x, y, n) executing n chained SpMV iterations in ONE
     device program, with all plan arrays passed as arguments (never constants)."""
