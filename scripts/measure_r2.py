@@ -147,7 +147,7 @@ def sec_acsr():
     x, y0 = random_x_y(n, m, seed=42, dtype=DT)
     dx, dy = jnp.asarray(x), jnp.asarray(y0)
     golden = host_spmv(1.0, 0.0, *csr.to_numpy()[:3], x, np.zeros(m))
-    for strat in ("acsr", "light", "swell"):
+    for strat in ("acsr", "light", "vector_row", "swell"):
         try:
             from spmv_acc_tpu.dispatch import spmv
 

@@ -142,3 +142,26 @@ def test_make_spmv_fn_retrace_safe():
 
         out = outer(jnp.asarray(x), jnp.asarray(y))
         assert out.shape == (400,)
+
+
+def test_vector_row_f64_compensated_kernel_structure():
+    """The compensated two-f32 ELL row-sum (the f64-on-TPU path of vector_row)
+    matches the f64 golden in interpret mode — validates the plane split, fold
+    pairing, and hi/err accumulator plumbing (the compensation arithmetic
+    itself is hardware-validated, see ops/swell.py interpret-mode note)."""
+    import jax.numpy as jnp
+
+    from spmv_acc_tpu.formats.generate import random_csr, random_x_y
+    from spmv_acc_tpu.ops.vector_row import ell_rowsum_pallas_f64
+    from spmv_acc_tpu.dispatch import _get_ell
+    from spmv_acc_tpu.config import DEFAULT_TUNE
+
+    csr = random_csr(300, 280, 2400, seed=61, dtype=np.float64)
+    x, _ = random_x_y(280, 300, seed=62, dtype=np.float64)
+    ell = _get_ell(csr, DEFAULT_TUNE)
+    xg = jnp.asarray(x)[ell.col_idx]
+    got = np.asarray(ell_rowsum_pallas_f64(ell.values.astype(jnp.float64), xg,
+                                           interpret=True))[:300]
+    golden = (np.asarray(ell.values, dtype=np.float64)[:300]
+              * np.asarray(xg, dtype=np.float64)[:300]).sum(axis=1)
+    assert verify_y(got, golden).ok
