@@ -51,10 +51,13 @@ except ImportError:  # pragma: no cover
         return lambda g: _shard_map_old(g, **kw)
 
 from ..formats.containers import CSR
-from ..ops.swell import _bucket_args, _interpret, _statics, get_swell_plan, swell_ax
+from ..ops.swell import (CHUNK_W, CW, _bucket_args, _interpret, _statics,
+                         get_swell_plan, swell_ax)
 
 __all__ = ["DistSwellPlan", "build_dist_swell", "dist_swell_spmv_fn",
-           "dist_swell_cg_solve", "pad_global"]
+           "dist_swell_halo_spmv_fn", "dist_swell_cg_solve", "pad_global"]
+
+_CS = CHUNK_W * CW  # columns (node-granular for BSR plans) per x chunk
 
 
 @dataclasses.dataclass
@@ -68,6 +71,11 @@ class DistSwellPlan:
     shape: Tuple[int, int]      # global (m, n)
     r: int
     dtype: np.dtype
+    # halo support: per-shard first chunk (D,), uniform window width in chunks,
+    # and whether the 1-hop exchange covers every shard's span (else all-gather)
+    chunk_lo: "np.ndarray | None" = None
+    win_chunks: int = 0
+    halo_ok: bool = False
 
     @property
     def padded_len(self) -> int:
@@ -116,16 +124,50 @@ def build_dist_swell(csr: CSR, num_shards: int, dtype=None) -> DistSwellPlan:
     names_interp = ("csel", "cselb", "hasb", "osel", "first", "vals", "lidx",
                     "onehot", "rbvec", "touched")
     names = names_interp if interp else names_tpu
-    stacked_buckets = []
-    for ba in gargs:
+    # pass 1: per-shard step slices + chunk spans (for the 1-hop halo window)
+    all_fields = []
+    all_slices = []
+    c_lo = np.full(D, np.iinfo(np.int64).max, dtype=np.int64)
+    c_hi = np.full(D, -1, dtype=np.int64)
+    for bi, ba in enumerate(gargs):
         fields = {n: np.asarray(a) for n, a in zip(names, ba)}
         osel = fields["osel"]
-        counts = []
         slices = []
         for d in range(D):
             lo, hi = np.searchsorted(osel, [d * K, (d + 1) * K])
             slices.append((int(lo), int(hi)))
-            counts.append(int(hi - lo))
+            if hi > lo:
+                cs = fields["csel"][lo:hi]
+                c_lo[d] = min(c_lo[d], int(cs.min()))
+                c_hi[d] = max(c_hi[d], int(cs.max()))
+                if st[8][bi][2]:  # dual bucket: chunk-b selectors load real blocks
+                    cb = fields["cselb"][lo:hi]
+                    c_lo[d] = min(c_lo[d], int(cb.min()))
+                    c_hi[d] = max(c_hi[d], int(cb.max()))
+        all_fields.append(fields)
+        all_slices.append(slices)
+    idle = c_hi < 0
+    d_idx = np.arange(D)
+    # idle shards (no steps anywhere) read only zero one-hots; park their window
+    # on their own x block so the slice stays near the shard
+    delta = plan.delta
+    L = rows_local
+    c_lo[idle] = np.maximum(0, (d_idx[idle] * (L // r) + delta) // _CS)
+    c_hi[idle] = c_lo[idle]
+    win_chunks = int((c_hi - c_lo).max()) + 1
+    # 1-hop feasibility: every live shard's element window must sit inside its
+    # own x block plus the two neighbor blocks (edge shards extend into the
+    # zero padding, which matches the global zero regions exactly)
+    ws = (c_lo * _CS - delta) * r
+    we = ws + win_chunks * _CS * r
+    live = ~idle
+    halo_ok = bool(
+        np.all((~live) | (d_idx == 0) | (ws >= (d_idx - 1) * L))
+        and np.all((~live) | (d_idx == D - 1) | (we <= (d_idx + 2) * L))
+    )
+    stacked_buckets = []
+    for fields, slices in zip(all_fields, all_slices):
+        counts = [hi - lo for lo, hi in slices]
         smax = max(max(counts), 1)
         per_shard = []
         for d, (lo, hi) in enumerate(slices):
@@ -137,6 +179,11 @@ def build_dist_swell(csr: CSR, num_shards: int, dtype=None) -> DistSwellPlan:
                 a = fields[n_][lo:hi]
                 if n_ == "osel":
                     a = a - d * K  # localize window ids
+                elif halo_ok and n_ in ("csel", "cselb"):
+                    # localize chunk ids into the shard's halo window; the clamp
+                    # covers never-loaded selectors of single-chunk steps (their
+                    # one-hot side is zero, so any in-range block is a no-op)
+                    a = np.clip(a - c_lo[d], 0, win_chunks - 1).astype(a.dtype)
                 sub.append((n_, a))
             osel_pad = int(sub[3][1][count - 1]) if count else 0
             padded = _pad_steps(sub, count, smax, osel_pad)
@@ -153,6 +200,7 @@ def build_dist_swell(csr: CSR, num_shards: int, dtype=None) -> DistSwellPlan:
         bucket_args=tuple(stacked_buckets), statics=statics, tail=tail,
         num_shards=D, windows_per_shard=K, rows_local=rows_local,
         shape=(csr.rows, csr.shape[1]), r=r, dtype=dtype,
+        chunk_lo=c_lo, win_chunks=win_chunks, halo_ok=halo_ok,
     )
 
 
@@ -161,9 +209,81 @@ def pad_global(dsp: DistSwellPlan, v) -> jnp.ndarray:
     return jnp.zeros((dsp.padded_len,), v.dtype).at[: v.shape[0]].set(v)
 
 
-def dist_swell_spmv_fn(dsp: DistSwellPlan, mesh: Mesh, axis: str = "x"):
+def dist_swell_halo_spmv_fn(dsp: DistSwellPlan, mesh: Mesh, axis: str = "x"):
+    """1-hop HALO variant: instead of all-gathering x (O(n) per device), each
+    shard ``ppermute``s only its two neighbor x blocks over ICI and slices its
+    chunk window out of the 3-block neighborhood — collective volume O(3n/D)
+    per device, the same scaling form as ``dist_spmv_halo_fn`` but feeding the
+    flagship swell kernels.  Requires ``dsp.halo_ok`` (chunk selectors were
+    rebased into the per-shard window at build time)."""
+    assert dsp.halo_ok, "plan was not built halo-feasible"
+    D = dsp.num_shards
+    L = dsp.rows_local
+    Wc = dsp.win_chunks
+    st = dsp.statics
+    r = st[9]
+    delta = st[7]
+    win_elems = Wc * _CS * r
+    off_raw = (dsp.chunk_lo.astype(np.int64) * _CS - delta) * r - (np.arange(D) - 1) * L
+    PL = int(max(0, -int(off_raw.min())))
+    PR = int(max(0, int((off_raw + win_elems).max()) - 3 * L))
+    offs = jnp.asarray((off_raw + PL).astype(np.int32))
+    # window statics: Wc chunks, delta already folded into the slice offset
+    statics = (st[0], st[1], st[2], Wc, st[4], st[5], st[6], 0, st[8], st[9])
+    flat, treedef = jax.tree_util.tree_flatten((dsp.bucket_args, dsp.tail))
+    nb = len(flat)
+    right = [(s, s + 1) for s in range(D - 1)]  # block s -> shard s+1 (left halo)
+    left = [(s + 1, s) for s in range(D - 1)]   # block s+1 -> shard s (right halo)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=tuple([P(axis)] * (nb + 2)),
+        out_specs=P(axis),
+    )
+    def _shard_fn(*args):
+        x_local = args[-2]
+        off = args[-1][0]
+        local = [a[0] for a in args[:nb]]
+        bargs, tail = jax.tree_util.tree_unflatten(treedef, local)
+        xl = jax.lax.ppermute(x_local, axis, right)  # zeros at shard 0
+        xr = jax.lax.ppermute(x_local, axis, left)   # zeros at shard D-1
+        xw = jnp.concatenate([
+            jnp.zeros((PL,), x_local.dtype), xl, x_local, xr,
+            jnp.zeros((PR,), x_local.dtype),
+        ])
+        xwin = jax.lax.dynamic_slice(xw, (off,), (win_elems,))
+        return swell_ax(bargs, tail, xwin, statics)
+
+    args_stacked = []
+    for a in flat:
+        if a.ndim >= 1 and a.shape[0] == D:
+            args_stacked.append(a)
+        else:
+            args_stacked.append(jnp.broadcast_to(a[None], (D,) + a.shape))
+    sh = NamedSharding(mesh, P(axis))
+    offs = jax.device_put(offs, sh)
+
+    @jax.jit
+    def run(x_sharded):
+        return _shard_fn(*args_stacked, x_sharded, offs)
+
+    return run
+
+
+def dist_swell_spmv_fn(dsp: DistSwellPlan, mesh: Mesh, axis: str = "x",
+                       halo: "bool | None" = None):
     """Jitted distributed y = A @ x: x enters sharded (D * rows_local,) in the
-    padded-global layout (pad_global); returns y sharded the same way."""
+    padded-global layout (pad_global); returns y sharded the same way.
+    ``halo=None`` auto-selects the 1-hop halo exchange when the plan's chunk
+    windows allow it (banded/FEM partitions), else the tiled all-gather."""
+    if halo is None:
+        halo = dsp.halo_ok
+    if halo:
+        return dist_swell_halo_spmv_fn(dsp, mesh, axis)
+    if dsp.halo_ok:
+        # chunk selectors were rebased into per-shard windows at build time;
+        # the global-chunk gather path cannot run on this plan
+        raise ValueError("plan built halo-feasible; use halo=True (or rebuild)")
     n = dsp.shape[1]
     flat, treedef = jax.tree_util.tree_flatten((dsp.bucket_args, dsp.tail))
     nb = len(flat)

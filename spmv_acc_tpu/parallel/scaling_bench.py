@@ -19,7 +19,12 @@ import sys
 import numpy as np
 
 
-def run_weak_scaling(device_counts, rows_per_device=4096, avg_nnz=16, iters=20, dtype=np.float64):
+def run_weak_scaling(device_counts, rows_per_device=4096, avg_nnz=16, iters=20,
+                     dtype=np.float64, engine="gather"):
+    """``engine='gather'``: XLA gather/segment-sum local compute (halo when
+    feasible).  ``engine='swell'``: the flagship kernels as local compute
+    (parallel/dist_swell.py, auto 1-hop halo) — use rows_per_device >= 32768 so
+    shard blocks span whole x chunks and the halo window fits."""
     import jax
     import jax.numpy as jnp
 
@@ -41,18 +46,34 @@ def run_weak_scaling(device_counts, rows_per_device=4096, avg_nnz=16, iters=20, 
         m = rows_per_device * d
         csr = banded_csr(m, bandwidth=min(avg_nnz | 1, m), seed=11, dtype=dtype)
         mesh = make_mesh(d)
-        part = partition_rows(csr, d, balance=False)
-        part = shard_partitioned(part, mesh)
-        build = dist_spmv_halo_fn if halo_feasible(part) else dist_spmv_fn
-        run, x_pad = build(mesh, part)
-        x = jnp.zeros((d * x_pad,), dtype=csr.values.dtype)
-        x = jax.device_put(x.at[: csr.cols].set(1.0), NamedSharding(mesh, P("x")))
+        if engine == "swell":
+            from .dist_swell import build_dist_swell, dist_swell_spmv_fn, pad_global
 
-        def step(x):
-            y = run(part.values, part.col_idx, part.row_ids, x)
-            # renormalised feedback keeps the chain honest without divergence
-            flat = y.reshape(-1)[: d * x_pad]
-            return flat * (1.0 / jnp.maximum(jnp.max(jnp.abs(flat)), 1e-30))
+            dsp = build_dist_swell(csr, d)
+            run_sw = dist_swell_spmv_fn(dsp, mesh)
+            print(f"D={d}: swell engine halo={'on' if dsp.halo_ok else 'off'} "
+                  f"win_chunks={dsp.win_chunks}", file=sys.stderr)
+            x = jax.device_put(
+                pad_global(dsp, jnp.ones((csr.cols,), dtype=csr.values.dtype)),
+                NamedSharding(mesh, P("x")))
+
+            def step(x):
+                y = run_sw(x)
+                return y * (1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
+
+        else:
+            part = partition_rows(csr, d, balance=False)
+            part = shard_partitioned(part, mesh)
+            build = dist_spmv_halo_fn if halo_feasible(part) else dist_spmv_fn
+            run, x_pad = build(mesh, part)
+            x = jnp.zeros((d * x_pad,), dtype=csr.values.dtype)
+            x = jax.device_put(x.at[: csr.cols].set(1.0), NamedSharding(mesh, P("x")))
+
+            def step(x):
+                y = run(part.values, part.col_idx, part.row_ids, x)
+                # renormalised feedback keeps the chain honest without divergence
+                flat = y.reshape(-1)[: d * x_pad]
+                return flat * (1.0 / jnp.maximum(jnp.max(jnp.abs(flat)), 1e-30))
 
         per_us, _ = time_chained(step, x, iters=iters, baseline_iters=max(2, iters // 10))
         rate = csr.nnz / (per_us * 1e-6) if per_us > 0 else 0.0
@@ -78,9 +99,11 @@ def main(argv=None) -> int:
     p.add_argument("--rows-per-device", type=int, default=4096)
     p.add_argument("--avg-nnz", type=int, default=16)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--engine", choices=("gather", "swell"), default="gather")
     args = p.parse_args(argv)
     counts = [int(c) for c in args.devices.split(",")]
-    results = run_weak_scaling(counts, args.rows_per_device, args.avg_nnz, args.iters)
+    results = run_weak_scaling(counts, args.rows_per_device, args.avg_nnz, args.iters,
+                               engine=args.engine)
     print(json.dumps({"weak_scaling": results}))
     if len(results) >= 2:
         return 0 if results[-1]["efficiency"] >= 0.5 else 1

@@ -224,3 +224,32 @@ def test_init_distributed_single_process():
     assert not ctx.initialized
     assert ctx.process_count == 1 and ctx.process_index == 0
     assert ctx.global_device_count == 8  # the virtual CPU mesh
+
+
+def test_dist_swell_halo_spmv_matches_golden():
+    """1-hop halo dist-swell: shard x blocks of >= 2 chunks on a banded matrix
+    make the per-shard chunk window fit the 3-block neighborhood, so the build
+    marks halo_ok and dist_swell_spmv_fn auto-selects the ppermute path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spmv_acc_tpu.formats.generate import banded_csr
+    from spmv_acc_tpu.parallel.dist_swell import (
+        build_dist_swell,
+        dist_swell_spmv_fn,
+        pad_global,
+    )
+
+    m = 131072  # 8 x-chunks; 4 shards -> 2 chunks per shard block
+    csr = banded_csr(m, bandwidth=4, seed=23, dtype=np.float64)
+    dsp = build_dist_swell(csr, 4)
+    assert dsp.halo_ok, (dsp.chunk_lo, dsp.win_chunks, dsp.rows_local)
+    mesh = make_mesh(4)
+    run = dist_swell_spmv_fn(dsp, mesh)  # auto-selects halo
+    x, _ = random_x_y(m, m, seed=24, dtype=np.float64)
+    xp = jax.device_put(
+        pad_global(dsp, jnp.asarray(x)), NamedSharding(mesh, P("x"))
+    )
+    y = np.asarray(run(xp))[:m]
+    golden = host_spmv_plain(*csr.to_numpy()[:3], x)
+    rep = verify_y(y, golden, dtype=np.float64)
+    assert rep.failed_count == 0, rep
