@@ -275,3 +275,56 @@ def test_plan_disk_cache_roundtrip(tmp_path, monkeypatch):
     for b1, b2 in zip(a1, a2):
         for x1, x2 in zip(b1, b2):
             assert np.array_equal(np.asarray(x1), np.asarray(x2))
+
+
+@pytest.mark.parametrize("r_env,k", [("1", 2), ("2", 2)])
+def test_packed_kernel_structure_interpret_multirhs(r_env, k):
+    """Packed-kernel structure guard for the MULTI-RHS (k>1) kernels, scalar and
+    BSR: the packed _call_f64 with a k axis vs the native-dtype reference.
+    Same rationale as test_packed_kernel_structure_interpret — the packed
+    SpMM kernels otherwise only execute on hardware."""
+    import os
+
+    import jax.numpy as jnp
+
+    from spmv_acc_tpu.formats.generate import banded_csr
+    from spmv_acc_tpu.ops.swell import (ROUT, _bucket_args, _call_f64,
+                                        _call_native_interp_r, _prep_x_pure,
+                                        _statics, get_swell_plan)
+
+    csr = banded_csr(3000, bandwidth=5, seed=13, dtype=np.float64)
+    os.environ["SPMV_TPU_BSR" if r_env != "1" else "SPMV_TPU_NO_BSR"] = r_env
+    os.environ["SPMV_TPU_NO_PLAN_CACHE"] = "1"
+    try:
+        dp = get_swell_plan(csr, np.float64)
+    finally:
+        os.environ.pop("SPMV_TPU_BSR", None)
+        os.environ.pop("SPMV_TPU_NO_BSR", None)
+        os.environ.pop("SPMV_TPU_NO_PLAN_CACHE", None)
+    r = dp.r
+    assert r == int(r_env) if r_env != "1" else r == 1
+    st = _statics(dp, False)
+    log2ds = st[-2]
+    nout, nchunks, delta = st[2], st[3], st[7]
+    rng = np.random.default_rng(14)
+    X = jnp.asarray(rng.uniform(-1, 1, size=(csr.shape[1], k)))
+    chunks_tpu = _prep_x_pure(X, nchunks, True, native=False, delta=delta, r=r, k=k)
+    chunks_nat = _prep_x_pure(X, nchunks, True, native=True, delta=delta, r=r, k=k)[0]
+    bt_all = _bucket_args(dp, False)
+    bn_all = _bucket_args(dp, True)
+    assert bt_all, "plan must have buckets"
+    for bt, bn, (l2d, wide, dual, cpos, allout) in zip(bt_all, bn_all, log2ds):
+        csel, cselb, hasb, osel, first, packed, touched = bt
+        o = np.asarray(_call_f64(csel, cselb, hasb, osel, first, packed,
+                                 chunks_tpu, l2d, wide, nout, True, dual, cpos,
+                                 r, k))
+        o = o.reshape(nout, k, r, 2, ROUT, 128)
+        got = o[:, :, :, 0].astype(np.float64) + o[:, :, :, 1].astype(np.float64)
+        ci_, cib, hb, osel_i, first_i, vals, lidx, oh, rbvec, touched_i = bn
+        ref = np.asarray(_call_native_interp_r(ci_, cib, hb, osel_i, first_i, vals,
+                                               lidx, oh, rbvec, chunks_nat, l2d,
+                                               wide, nout, r, k))
+        ref = ref.reshape(nout, k, r, ROUT, 128)
+        scale = max(np.abs(ref).max(), 1.0)
+        assert np.abs(got - ref).max() / scale < 1e-4, \
+            f"structure mismatch in D={1 << l2d} r={r} k={k} bucket"
