@@ -84,16 +84,40 @@ def cg_solve(
     strategy: str = "adaptive",
     precond: Optional[Callable] = None,
 ):
-    """Solve A x = b (A symmetric positive definite) with the strategy zoo's SpMV."""
-    from ..dispatch import spmv
+    """Solve A x = b (A symmetric positive definite) with the strategy zoo's SpMV.
+
+    The swell path (explicit or adaptive-chosen on TPU) passes the plan arrays
+    through a jit as ARGUMENTS — closing over them inside the traced while_loop
+    would embed hundreds of MB of slabs into the HLO (see ops/swell.py note;
+    observed HTTP 413 from the remote compiler at 14M nnz)."""
+    from ..dispatch import pick_strategy, spmv
+    from ..plan import get_plan
 
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    dot = lambda a, c: jnp.dot(a, c, preferred_element_type=a.dtype)
+    chosen = pick_strategy(get_plan(csr), csr) if strategy == "adaptive" else strategy
+    if chosen == "swell":
+        from ..ops.swell import _bucket_args, _interpret, _statics, get_swell_plan, swell_ax
+
+        dp = get_swell_plan(csr, csr.values.dtype)
+        interp = _interpret()
+        statics = _statics(dp, interp)
+        m = csr.rows
+        tol_a = jnp.asarray(tol, b.dtype)
+
+        @jax.jit
+        def _run(bargs, tail, bb, xx0):
+            def matvec(v):
+                return swell_ax(bargs, tail, v, statics)[:m].astype(bb.dtype)
+
+            return _cg_loop(matvec, precond, bb, xx0, tol_a, max_iters, dot)
+
+        return _run(_bucket_args(dp, interp), dp.tail, b, x0)
 
     def matvec(v):
-        return spmv(csr, v, strategy=strategy)
+        return spmv(csr, v, strategy=chosen)
 
-    dot = lambda a, c: jnp.dot(a, c, preferred_element_type=a.dtype)
     return _cg_loop(matvec, precond, b, x0, jnp.asarray(tol, b.dtype), max_iters, dot)
 
 

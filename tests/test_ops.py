@@ -236,3 +236,18 @@ def test_cg_solves_spd():
     )
     assert np.allclose(np.asarray(res_p.x), x_true, atol=1e-8)
     assert int(res_p.iters) <= int(res.iters) + 1
+
+
+def test_cg_swell_path_matches_known_solution():
+    """cg_solve(strategy='swell') routes the matvec through swell_ax with plan
+    arrays as jit ARGUMENTS (not trace constants — the HLO-embedding hazard)."""
+    from spmv_acc_tpu.models.cg import cg_solve
+
+    csr = _spd_csr(200, seed=14)
+    rng = np.random.default_rng(15)
+    x_true = rng.standard_normal(200)
+    dense = csr_to_dense(*csr.to_numpy())
+    b = jnp.asarray(dense @ x_true)
+    res = cg_solve(csr, b, tol=1e-10, max_iters=400, strategy="swell")
+    err = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
+    assert err < 1e-8, (err, int(res.iters))
