@@ -43,6 +43,7 @@ ENGINES = [
     ("spmv-acc-block-row", "block_row"),
     ("spmv-acc-light", "light"),
     ("spmv-acc-line-enhance", "line_enhance"),
+    ("spmv-acc-acsr", "acsr"),
     ("numpy-cpu", None),
     # independent on-device engines — the analog of the reference's 6 external
     # comparators (rocSPARSE/cuSPARSE/CUB/HOLA/merge-path/ACSR, benchmark/main.cpp:107-141):
