@@ -202,7 +202,7 @@ int64_t swell_analyze(const int64_t* rp, const int32_t* ci, int64_t m,
   // columns in a row, which the slot/half encodings cannot represent (slot
   // would exceed 255 and gid2 = inst*2+half would alias the next instance).
   // Callers fall back to a path that validates input.
-  volatile int32_t dup_overflow = 0;
+  std::atomic<int32_t> dup_overflow{0};
 #if defined(_OPENMP)
 #pragma omp parallel
 #endif
@@ -268,7 +268,7 @@ int64_t swell_analyze(const int64_t* rp, const int32_t* ci, int64_t m,
           const int64_t j = order[i];
           const int32_t slot = cnt[laneb[j]]++;  // <= 255 iff cols unique per row
           if (slot > 255) {
-            dup_overflow = 1;
+            dup_overflow.store(1, std::memory_order_relaxed);
             continue;  // keep scanning so the loop terminates cleanly
           }
           const int32_t half = slot >> 7;
@@ -317,7 +317,7 @@ int64_t swell_analyze(const int64_t* rp, const int32_t* ci, int64_t m,
       }
     }
   }
-  if (dup_overflow) return -1;
+  if (dup_overflow.load()) return -1;
   // phase B: prefix over blocks, copy slab records, fix up per-nnz slab ids
   std::vector<int64_t> base(nblocks + 1, 0);
   for (int64_t b = 0; b < nblocks; ++b) base[b + 1] = base[b] + blk_nslabs[b];

@@ -12,7 +12,7 @@ import numpy as np
 
 from spmv_acc_tpu.formats.generate import example_like, random_x_y
 from spmv_acc_tpu.ops.swell import (ROUT, _bucket_args, _call_f64,
-                                    _call_native_interp, _prep_x_pure,
+                                    _call_native_interp_r, _prep_x_pure,
                                     _statics, get_swell_plan)
 
 name = sys.argv[1] if len(sys.argv) > 1 else "TSOPF_RS_b2383"
@@ -28,21 +28,24 @@ m, n = csr.shape
 x, _ = random_x_y(n, m, seed=42, dtype=np.float64)
 dp = get_swell_plan(csr, np.float64)
 st = _statics(dp, False)
-log2ds = st[-1]
+log2ds = st[-2]
+r = st[-1]
 nout, nchunks, delta = st[2], st[3], st[7]
-chunks_tpu = _prep_x_pure(jnp.asarray(x), nchunks, True, native=False, delta=delta)
-chunks_nat = _prep_x_pure(jnp.asarray(x), nchunks, True, native=True, delta=delta)[0]
+chunks_tpu = _prep_x_pure(jnp.asarray(x), nchunks, True, native=False, delta=delta, r=r)
+chunks_nat = _prep_x_pure(jnp.asarray(x), nchunks, True, native=True, delta=delta, r=r)[0]
 bargs_tpu = _bucket_args(dp, False)
 bargs_int = _bucket_args(dp, True)
 
-for bi, (bt, bn, (l2d, wide, dual, cpos)) in enumerate(zip(bargs_tpu, bargs_int, log2ds)):
+for bi, (bt, bn, (l2d, wide, dual, cpos, allout)) in enumerate(zip(bargs_tpu, bargs_int, log2ds)):
     csel, cselb, hasb, osel, first, packed, touched = bt
     o = np.asarray(_call_f64(csel, cselb, hasb, osel, first, packed, chunks_tpu,
-                             l2d, wide, nout, False, dual, cpos))
-    got = o[:, :ROUT].astype(np.float64) + o[:, ROUT:].astype(np.float64)
+                             l2d, wide, nout, False, dual, cpos, r))
+    o = o.reshape(nout, r, 2, ROUT, 128)
+    got = o[:, :, 0].astype(np.float64) + o[:, :, 1].astype(np.float64)
     ci_, cib, hb, osel_i, first_i, vals, lidx, oh, rbvec, touched_i = bn
-    ref = np.asarray(_call_native_interp(ci_, cib, hb, osel_i, first_i, vals, lidx,
-                                         oh, rbvec, chunks_nat, l2d, wide, nout))
+    ref = np.asarray(_call_native_interp_r(ci_, cib, hb, osel_i, first_i, vals, lidx,
+                                           oh, rbvec, chunks_nat, l2d, wide, nout, r))
+    ref = ref.reshape(nout, r, ROUT, 128)
     mask = np.asarray(touched)
     diff = np.abs(got[mask] - ref[mask])
     rel = diff / np.maximum(np.abs(ref[mask]), 1e-300)

@@ -764,7 +764,7 @@ _SWELL_CACHE: dict = {}
 # failure falls back to a live build.  Reference analog: the analyze pre-pass
 # whose cost csr_adaptive_plus profiles separately (csr_adaptive_plus_spmv.cpp:92-129)
 # — here it is additionally persisted across processes.
-_PLAN_CACHE_ABI = 1
+_PLAN_CACHE_ABI = 2
 
 
 def _plan_cache_path(rp, ci, v, shape, dtype):
@@ -776,10 +776,14 @@ def _plan_cache_path(rp, ci, v, shape, dtype):
     if _interpret() and not os.environ.get("SPMV_TPU_PLAN_CACHE"):
         return None
     cdir = os.environ.get("SPMV_TPU_PLAN_CACHE_DIR", "/tmp/spmv_plans")
-    # content hash: strided samples (full arrays would cost another memory pass)
-    h = zlib.crc32(np.ascontiguousarray(rp[:: max(1, len(rp) // 8192)]).tobytes())
-    h = zlib.crc32(np.ascontiguousarray(ci[:: max(1, len(ci) // 65536)]).tobytes(), h)
-    h = zlib.crc32(np.ascontiguousarray(v[:: max(1, len(v) // 65536)]).view(np.uint8).tobytes(), h)
+    # FULL-coverage content hash.  A strided sample collided in practice
+    # (same-pattern matrices with updated values hashed identically and the
+    # cache silently served stale packed values); crc32 runs at ~GB/s, so the
+    # full pass costs well under a second even at 65M nnz — noise next to the
+    # ~1min build it guards.
+    h = zlib.crc32(np.ascontiguousarray(rp).tobytes())
+    h = zlib.crc32(np.ascontiguousarray(ci).tobytes(), h)
+    h = zlib.crc32(np.ascontiguousarray(v).tobytes(), h)
     pins = ",".join(
         f"{k}={os.environ.get(k, '')}"
         for k in ("SPMV_TPU_FORCE_MERGE", "SPMV_TPU_FORCE_CPOS", "SPMV_TPU_NO_ABSORB",
@@ -866,11 +870,16 @@ def get_swell_plan(csr, dtype) -> _DeviceSwellPlan:
     r = 1
     if not os.environ.get("SPMV_TPU_NO_BSR"):
         from .bsr_block import bsr_condense, detect_block_size
+        from .swell_plan import _canonicalize
 
+        # canonicalize BEFORE condensing: bsr_condense last-writes duplicate
+        # (row, col) cells, silently dropping contributions the scalar path's
+        # in-plan canonicalization would sum
+        rp_c, ci_c, v_c = _canonicalize(rp, ci.astype(np.int64), v, shape[0])
         forced = os.environ.get("SPMV_TPU_BSR")
-        r = int(forced) if forced else detect_block_size(rp, ci, shape)
+        r = int(forced) if forced else detect_block_size(rp_c, ci_c, shape)
         if r > 1:
-            rp_b, ci_b, vals2d = bsr_condense(rp, ci, v, shape, r)
+            rp_b, ci_b, vals2d = bsr_condense(rp_c, ci_c, v_c, shape, r)
             plan = build_swell_plan(rp_b, ci_b, vals2d,
                                     (len(rp_b) - 1, -(-shape[1] // r)))
             out_rows = int(shape[0])
@@ -903,6 +912,12 @@ def get_swell_plan(csr, dtype) -> _DeviceSwellPlan:
 
 def _bucket_args(dp: _DeviceSwellPlan, interp: bool):
     out = []
+    if interp and dp.buckets and not dp._host_buckets:
+        raise RuntimeError(
+            "plan was loaded from the disk cache (TPU-layout arrays only) but "
+            "the interpret path needs host buckets — rebuild with "
+            "SPMV_TPU_NO_PLAN_CACHE=1 (the cache is only consulted on non-TPU "
+            "backends when SPMV_TPU_PLAN_CACHE=1 forces it)")
     for i, b in enumerate(dp.buckets):
         if interp:
             if "interp_args" not in b:

@@ -209,7 +209,7 @@ def _acsr_bins(csr):
     bins = []
     for w in np.unique(widths):
         sel_rows = np.flatnonzero(widths == w)
-        inbin = np.isin(rows_all, sel_rows)
+        inbin = widths[rows_all] == w  # O(nnz) direct lookup, no sort/search
         rnew = np.searchsorted(sel_rows, rows_all[inbin])
         cols = np.zeros((len(sel_rows), int(w)), dtype=np.int32)
         vals = np.zeros((len(sel_rows), int(w)), dtype=v.dtype)

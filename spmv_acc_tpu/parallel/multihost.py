@@ -36,9 +36,9 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .dist_swell import shard_map  # version-compat wrapper (check_rep/check_vma)
 from .partition import PartitionedCSR
 
 __all__ = ["DistContext", "init_distributed", "hybrid_mesh",

@@ -328,3 +328,57 @@ def test_packed_kernel_structure_interpret_multirhs(r_env, k):
         scale = max(np.abs(ref).max(), 1.0)
         assert np.abs(got - ref).max() / scale < 1e-4, \
             f"structure mismatch in D={1 << l2d} r={r} k={k} bucket"
+
+
+def test_plan_disk_cache_detects_value_change(tmp_path, monkeypatch):
+    """Full-coverage content hash: same-pattern matrices with different values
+    must NOT share a cache entry (the strided-sample hash collided here and
+    served stale packed values)."""
+    import jax.numpy as jnp
+
+    from spmv_acc_tpu.formats.containers import CSR
+    from spmv_acc_tpu.formats.generate import banded_csr, random_x_y
+    from spmv_acc_tpu.ops import swell as sw
+
+    monkeypatch.setenv("SPMV_TPU_PLAN_CACHE", "1")
+    monkeypatch.setenv("SPMV_TPU_PLAN_CACHE_DIR", str(tmp_path))
+    csr1 = banded_csr(3000, bandwidth=5, seed=41, dtype=np.float64)
+    rp, ci, v, shape = csr1.to_numpy()
+    p1 = sw._plan_cache_path(rp, ci, v, shape, np.float64)
+    v2 = v.copy()
+    v2[::2] *= 1.5  # same pattern, half the values changed
+    p2 = sw._plan_cache_path(rp, ci, v2, shape, np.float64)
+    assert p1 != p2
+
+
+def test_bsr_duplicate_columns_summed(monkeypatch):
+    """bsr_condense must see canonicalized input: duplicate (row, col) entries
+    sum (the CSR contract) instead of last-write-wins in the cell fill."""
+    import jax.numpy as jnp
+
+    from spmv_acc_tpu.formats.containers import CSR
+    from spmv_acc_tpu.ops.swell import spmv_swell
+
+    monkeypatch.setenv("SPMV_TPU_BSR", "2")
+    monkeypatch.setenv("SPMV_TPU_NO_PLAN_CACHE", "1")
+    m = 200
+    rng = np.random.default_rng(43)
+    # banded pattern with an injected duplicate column in several rows
+    rows, cols, vals = [], [], []
+    for i in range(m):
+        for j in range(max(0, i - 2), min(m, i + 3)):
+            rows.append(i); cols.append(j); vals.append(rng.uniform(-1, 1))
+        if i % 7 == 0:  # duplicate the diagonal entry
+            rows.append(i); cols.append(i); vals.append(2.0)
+    order = np.lexsort((cols, rows))
+    rr = np.asarray(rows)[order]; cc = np.asarray(cols)[order]
+    vv = np.asarray(vals, dtype=np.float64)[order]
+    rp = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(rp, rr + 1, 1)
+    np.cumsum(rp, out=rp)
+    csr = CSR.from_numpy(rp, cc.astype(np.int32), vv, (m, m))
+    x = rng.uniform(-1, 1, size=m)
+    golden = np.zeros(m)
+    np.add.at(golden, rr, vv * x[cc])  # duplicates SUM
+    out = np.asarray(spmv_swell(1.0, 0.0, csr, jnp.asarray(x), jnp.zeros(m)))
+    assert verify_y(out, golden).ok
