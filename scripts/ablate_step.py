@@ -1,0 +1,229 @@
+"""Stage ablation of the CURRENT production f64 swell kernel on real TPU.
+
+For the largest bucket of a matrix's scalar plan, times kernel variants with one
+stage stubbed out each (semantics intentionally broken — this is a cost probe):
+
+  full        production kernel
+  no_tables   table pairs replaced by raw chunk slices (skips the one-hot matmuls)
+  no_gather   gather replaced by the table rows themselves
+  no_dekker   plain f32 product, e=0 (skips splits + error capture + cross terms)
+  no_fold2sum fold uses plain adds (skips 2Sum per level)
+  no_acc2sum  output accumulate uses plain adds
+  no_mask     classpos occupancy mask skipped (classpos buckets only)
+
+Usage: python scripts/ablate_step.py [matrix] [bucket_index]
+"""
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_spmv")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spmv_acc_tpu.ops import swell as S
+from spmv_acc_tpu.ops.swell import (ROUT, _bucket_args, _gather_sel, _lane_gather,
+                                    _mask_col, _expand_tile, _packed_rows,
+                                    _prep_x_pure, _split, _statics, _tables_dual,
+                                    _unpack_bytes, get_swell_plan)
+
+_Z = np.int32(0)
+
+
+def make_kernel(log2d, wide, dual, classpos, ab):
+    nv = 1
+    P, boff, ohw, nval, _ = _packed_rows(log2d, True, wide, nv)
+    D = 1 << log2d
+
+    def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
+               *rest):
+        if dual:
+            chunkb_ref, o_ref = rest[0], rest[1]
+            ts_refs = rest[2:]
+        else:
+            (o_ref,) = rest
+            ts_refs = None
+        s = pl.program_id(0)
+        buf = packed_ref[0]
+        # pre-split layout (ABI v3): ah | al | vl
+        vah = jax.lax.bitcast_convert_type(buf[:128], jnp.float32)
+        vall = jax.lax.bitcast_convert_type(buf[128:256], jnp.float32)
+        vlo = jax.lax.bitcast_convert_type(buf[256:384], jnp.float32)
+        idx = _unpack_bytes(buf[nval : nval + 32], 128)
+        oh = _unpack_bytes(buf[nval + 32 : nval + 32 + ohw], 4 * ohw)
+        rb = buf[nval + 32 + ohw : nval + 33 + ohw]
+        sets_hi = [[chunk_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]]
+        sets_lo = [[chunk_ref[0, (3 + i) * 128 : (4 + i) * 128] for i in range(3)]]
+        if dual:
+            sets_hi_b = [[chunkb_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]]
+            sets_lo_b = [[chunkb_ref[0, (3 + i) * 128 : (4 + i) * 128] for i in range(3)]]
+        if ab == "no_tables":
+            t = chunk_ref[0, :128].astype(jnp.float32)
+            te = _expand_tile(t[:P], D, P)
+            pairs = [(te, te if wide else None), (te, te if wide else None)]
+        else:
+            pairs = _tables_dual(
+                oh, sets_hi + sets_lo,
+                (sets_hi_b + sets_lo_b) if dual else None,
+                hasb_r[s], ts_refs, P, D, wide,
+            )
+        tha, thb = pairs[0]
+        tla, tlb = pairs[1]
+        if ab == "no_gather":
+            gh, gl = tha, tla
+        elif wide:
+            gh = _gather_sel(tha, thb, idx)
+            gl = _gather_sel(tla, tlb, idx)
+        else:
+            gh = _lane_gather(tha, idx)
+            gl = _lane_gather(tla, idx)
+        ah, al, v_l = vah, vall, vlo
+        v_h = ah + al
+        if ab == "no_dekker":
+            p = v_h * gh
+            e = jnp.zeros_like(p)
+        else:
+            bh, bl = _split(gh)
+            p = v_h * gh
+            e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+            e = e + (v_h * gl + (v_l * gh + v_l * gl))
+        for _ in range(log2d):
+            half = p.shape[0] // 2
+            a, b = p[:half], p[half:]
+            if ab == "no_fold2sum":
+                p = a + b
+                e = e[:half] + e[half:]
+            else:
+                ssum = a + b
+                bb = ssum - a
+                err = (a - (ssum - bb)) + (b - bb)
+                e = e[:half] + e[half:] + err
+                p = ssum
+        if classpos and log2d == 0:
+            pass
+        elif classpos:
+            if ab != "no_mask":
+                occ = buf[nval + 33 + ohw : nval + 34 + ohw]
+                mk = _mask_col(occ)
+                p = _expand_tile(p, D, P) * mk
+                e = _expand_tile(e, D, P) * mk
+            else:
+                p = _expand_tile(p, D, P)
+                e = _expand_tile(e, D, P)
+        else:
+            outs = S._scatter_exact(rb, (p, e), P)
+            p, e = outs[0], outs[1]
+        first = first_r[s]
+
+        @pl.when(first == 1)
+        def _():
+            o_ref[0, :ROUT] = p
+            o_ref[0, ROUT:] = e
+
+        @pl.when(first == 0)
+        def _():
+            cur = o_ref[0, :ROUT]
+            if ab == "no_acc2sum":
+                o_ref[0, :ROUT] = cur + p
+                o_ref[0, ROUT:] = o_ref[0, ROUT:] + e
+            else:
+                ssum = cur + p
+                bb = ssum - cur
+                err = (cur - (ssum - bb)) + (p - bb)
+                o_ref[0, :ROUT] = ssum
+                o_ref[0, ROUT:] = o_ref[0, ROUT:] + e + err
+
+    return kernel
+
+
+def call_ab(ba, chunks, log2d, wide, dual, classpos, nout, ab):
+    csel, cselb, hasb, osel, first, packed, touched = ba
+    nsteps = packed.shape[0]
+    in_specs = [
+        pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
+        pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+    ]
+    if dual:
+        in_specs.append(pl.BlockSpec((1, chunks.shape[1], 128),
+                                     lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 2 * ROUT, 128),
+                               lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
+        scratch_shapes=[pltpu.VMEM((S._ts_rows(log2d, wide), 128), jnp.float32)
+                        for _ in range(2)] if dual else [],
+    )
+    args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ())
+    return pl.pallas_call(
+        make_kernel(log2d, wide, dual, classpos, ab),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nout, 2 * ROUT, 128), jnp.float32),
+    )(*args)
+
+
+def main():
+    import os
+
+    os.environ["SPMV_TPU_NO_BSR"] = "1"
+    name = sys.argv[1] if len(sys.argv) > 1 else "boneS10"
+    from spmv_acc_tpu.formats.generate import example_like, random_x_y
+
+    csr = example_like(name, dtype=np.float64)
+    dp = get_swell_plan(csr, np.float64)
+    bargs = _bucket_args(dp, False)
+    st = _statics(dp, False)
+    log2ds = st[-2]
+    nout, nchunks, delta = st[2], st[3], st[7]
+    x, _ = random_x_y(csr.shape[1], csr.shape[0], seed=42, dtype=np.float64)
+    chunks = _prep_x_pure(jnp.asarray(x), nchunks, True, native=False, delta=delta)
+    pert = chunks[:, :1].astype(jnp.float32)
+    order = sorted(range(len(bargs)), key=lambda i: -bargs[i][5].shape[0])
+    pick = [order[int(sys.argv[2])]] if len(sys.argv) > 2 else order[:2]
+    for bi in pick:
+        ba = bargs[bi]
+        l2d, wide, dual, cpos, allout = log2ds[bi]
+        nsteps = ba[5].shape[0]
+        print(f"bucket {bi}: D={1 << l2d} wide={int(wide)} dual={int(dual)} "
+              f"cpos={int(cpos)} steps={nsteps}", flush=True)
+        variants = ["full", "no_tables", "no_gather", "no_dekker", "no_fold2sum",
+                    "no_acc2sum"] + (["no_mask"] if cpos and l2d > 0 else [])
+        for ab in variants:
+
+            @jax.jit
+            def loop(ba, chunks, pert, n, ab=ab, l2d=l2d, wide=wide, dual=dual,
+                     cpos=cpos):
+                def body(i, c):
+                    ch = jnp.concatenate(
+                        [(pert * (1.0 + c * 1e-30)).astype(jnp.bfloat16),
+                         chunks[:, 1:]], axis=1)
+                    o = call_ab(ba, ch, l2d, wide, dual, cpos, nout, ab)
+                    return c + o[0, 0, 0] * 1e-30
+
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+            def once(nn):
+                t = time.perf_counter()
+                r = loop(ba, chunks, pert, nn)
+                np.asarray(jax.device_get(r))
+                return time.perf_counter() - t
+
+            n0, n1 = 17, 65
+            once(n0); once(n1)
+            lo = min(once(n0) for _ in range(3))
+            hi = min(once(n1) for _ in range(3))
+            per = (hi - lo) / (n1 - n0)
+            print(f"  {ab:12s} {per / nsteps * 1e9:7.0f} ns/step "
+                  f"({per * 1e6:8.1f} us/iter)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

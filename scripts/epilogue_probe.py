@@ -27,7 +27,7 @@ x, _ = random_x_y(n, m, seed=7, dtype=np.float64)
 dp = get_swell_plan(csr, np.float64)
 bargs = _bucket_args(dp, False)
 st = _statics(dp, False)
-log2ds = st[-1]
+log2ds = st[-2]
 nout, nchunks, delta = st[2], st[3], st[7]
 dx = jnp.asarray(x)
 

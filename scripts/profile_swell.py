@@ -37,14 +37,14 @@ def main():
     dp = get_swell_plan(csr, np.float64)
     bargs = _bucket_args(dp, False)
     st = _statics(dp, False)
-    log2ds = st[-1]
+    log2ds = st[-2]  # per-bucket (log2d, wide, dual, classpos, allout) flags
     nout, nchunks, delta = st[2], st[3], st[7]
     chunks = _prep_x_pure(jnp.asarray(x), nchunks, True, native=False, delta=delta)
     pert = chunks[:, :1].astype(jnp.float32)
     print(f"plan: fill={dp.plan.fill_efficiency:.3f} steps={dp.plan.total_steps}",
           flush=True)
 
-    for bi, (ba, (l2d, wide, dual, cpos)) in enumerate(zip(bargs, log2ds)):
+    for bi, (ba, (l2d, wide, dual, cpos, allout)) in enumerate(zip(bargs, log2ds)):
         csel, cselb, hasb, osel, first, packed, touched = ba
         nsteps = packed.shape[0]
         ndual = int((np.asarray(hasb) != 0).sum())

@@ -19,14 +19,25 @@ import numpy as np
 
 __all__ = ["detect_block_size", "bsr_condense"]
 
-# Per-step cost model (ns) on v5e, from the swell cost model (ops/swell_plan.py):
+# Per-step cost model (ns) on v5e, calibrated against the 2026-08-17 hardware
+# A/B (boneS10/Bump_2911/Cube_Coup_dt6/RM07R, scalar vs SPMV_TPU_BSR=3):
 # scalar step ~850ns per 16384 slots; a BSR step adds (r^2-1) compensated value
-# products (~210ns each) and (r-1) table+gather sets (~470ns) but carries
-# 16384*r^2 cells.  Candidate r wins when expansion * per_cell(r) < per_cell(1).
+# products and (r-1) table+gather sets but carries 16384*r^2 cells.  Fitted
+# per-cell costs: scalar ~52ps, BSR r=3 best-case ~33ps (RM07R measured).
+#
+# The decisive SECOND gate is slab depth: table-build matmuls scale with
+# P = 128/D, so plans dominated by shallow slabs (D=1/2) pay 36-72 MXU passes
+# per BSR step and LOSE 1.35-1.5x, while deep plans WIN.  The estimator below
+# computes avg blocks per (node row, 256-scalar-col window) — a direct proxy
+# for realized slab depth.  Measured calibration (r=3 unless noted):
+#   boneS10 est-depth 1.5 -> LOST 1.51x | Bump_2911 1.0 -> LOST 1.20x
+#   Cube_Coup_dt6 1.2 -> LOST 1.36x    | RM07R 4.0 -> WON 1.53x (rf 0.196->0.301)
+#   TSOPF_RS_b2383 12.5-25 (in-class with RM07R's dense node rows)
 _SCALAR_NS = 850.0
-_PROD_NS = 210.0
+_PROD_NS = 385.0
 _TG_NS = 470.0
-_MAX_EXPANSION = 2.2  # hard cap: value-plane DMA (8B/cell f64) eventually binds
+_MAX_EXPANSION = 2.2   # hard cap: value-plane DMA (8B/cell f64) eventually binds
+_MIN_WINDOW_DEPTH = 3.5  # est-depth gate (see calibration above)
 
 
 def _per_cell_ns(r: int) -> float:
@@ -37,7 +48,8 @@ def _per_cell_ns(r: int) -> float:
 
 
 def _expansion_sample(rp, ci, m, n, r, sample=4096):
-    """Zero-fill expansion estimate (r*r*nnzb / nnz) over a node-row sample."""
+    """(zero-fill expansion r*r*nnzb/nnz, est slab depth: avg blocks per
+    (node row, 256-scalar-col window)) over a node-row sample."""
     mb = -(-m // r)
     stride = max(1, mb // sample)
     nodes = np.arange(0, mb, stride, dtype=np.int64)
@@ -46,7 +58,7 @@ def _expansion_sample(rp, ci, m, n, r, sample=4096):
     lens = (rp[r1] - rp[r0]).astype(np.int64)
     tot = int(lens.sum())
     if tot == 0:
-        return np.inf
+        return np.inf, 0.0
     starts = rp[r0]
     idx = np.repeat(starts, lens) + (
         np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
@@ -54,8 +66,11 @@ def _expansion_sample(rp, ci, m, n, r, sample=4096):
     bc = ci[idx] // r
     node_of = np.repeat(np.arange(len(nodes), dtype=np.int64), lens)
     nbb = n // r + 2
-    nblocks = len(np.unique(node_of * nbb + bc))
-    return nblocks * r * r / tot
+    ub = np.unique(node_of * nbb + bc)
+    nblocks = len(ub)
+    wb = max(1, 256 // r)  # block cols per 256-scalar-col window
+    ninst = len(np.unique((ub // nbb) * (nbb // wb + 2) + (ub % nbb) // wb))
+    return nblocks * r * r / tot, nblocks / max(1, ninst)
 
 
 def detect_block_size(rp, ci, shape, cands=(4, 3, 2)) -> int:
@@ -68,8 +83,8 @@ def detect_block_size(rp, ci, shape, cands=(4, 3, 2)) -> int:
     ci = np.asarray(ci, dtype=np.int64)
     best_r, best_cost = 1, _per_cell_ns(1)
     for r in cands:
-        e = _expansion_sample(rp, ci, m, n, r)
-        if e > _MAX_EXPANSION:
+        e, est_depth = _expansion_sample(rp, ci, m, n, r)
+        if e > _MAX_EXPANSION or est_depth < _MIN_WINDOW_DEPTH:
             continue
         cost = e * _per_cell_ns(r)
         if cost < best_cost:
