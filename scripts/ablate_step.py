@@ -52,10 +52,8 @@ def make_kernel(log2d, wide, dual, classpos, ab):
             ts_refs = None
         s = pl.program_id(0)
         buf = packed_ref[0]
-        # pre-split layout (ABI v3): ah | al | vl
-        vah = jax.lax.bitcast_convert_type(buf[:128], jnp.float32)
-        vall = jax.lax.bitcast_convert_type(buf[128:256], jnp.float32)
-        vlo = jax.lax.bitcast_convert_type(buf[256:384], jnp.float32)
+        vhh = jax.lax.bitcast_convert_type(buf[:128], jnp.float32)
+        vlo = jax.lax.bitcast_convert_type(buf[128:256], jnp.float32)
         idx = _unpack_bytes(buf[nval : nval + 32], 128)
         oh = _unpack_bytes(buf[nval + 32 : nval + 32 + ohw], 4 * ohw)
         rb = buf[nval + 32 + ohw : nval + 33 + ohw]
@@ -84,14 +82,14 @@ def make_kernel(log2d, wide, dual, classpos, ab):
         else:
             gh = _lane_gather(tha, idx)
             gl = _lane_gather(tla, idx)
-        ah, al, v_l = vah, vall, vlo
-        v_h = ah + al
+        v_h, v_l = vhh, vlo
         if ab == "no_dekker":
             p = v_h * gh
             e = jnp.zeros_like(p)
         else:
             bh, bl = _split(gh)
             p = v_h * gh
+            ah, al = _split(v_h)
             e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
             e = e + (v_h * gl + (v_l * gh + v_l * gl))
         for _ in range(log2d):
@@ -171,10 +169,7 @@ def call_ab(ba, chunks, log2d, wide, dual, classpos, nout, ab):
 
 
 def main():
-    import os
-
-    os.environ["SPMV_TPU_NO_BSR"] = "1"
-    name = sys.argv[1] if len(sys.argv) > 1 else "boneS10"
+    name = sys.argv[1] if len(sys.argv) > 1 else "boneS10"  # default policy is scalar here (depth gate)
     from spmv_acc_tpu.formats.generate import example_like, random_x_y
 
     csr = example_like(name, dtype=np.float64)

@@ -175,19 +175,19 @@ def _unpack_bytes(words, nrows):
 
 def _packed_rows(log2d: int, is64: bool, wide: bool, nv: int = 1):
     """Row layout of the per-step packed int32 buffer (single large DMA):
-    values (nv planes; f64 stores ah | al | vl PRE-SPLIT) | lidx | onehot |
-    rbvec | occrow | pad.
+    values (nv planes, hi then lo) | lidx | onehot | rbvec | occrow | pad.
 
-    f64 values ship as THREE f32 planes per value: the Dekker 12-bit halves
-    (ah, al) of the hi part plus the lo part vl.  The split is computed once at
-    pack time instead of per SpMV step — the in-kernel `_split(v_h)` (4 VPU ops
-    per slot) becomes `v_h = ah + al` (1 op, exact by construction).  Costs
-    +4 bytes/slot of step DMA, which overlaps compute; the kernel is VPU-bound."""
+    MEASURED DEAD END (2026-08-17): shipping f64 values PRE-SPLIT as three
+    planes (ah | al | vl) to save the in-kernel `_split(v_h)` (net -3 VPU
+    ops/slot) REGRESSED boneS10 5.4% (2401 -> 2539 us) — the +50% packed-DMA
+    bytes (164 -> 228 KB/step) cost more than the saved ops.  The step is
+    nearer DMA-bound than op counting suggests; do not re-try without
+    shrinking bytes elsewhere first."""
     P = 128 >> log2d
     boff = max(P, 8)
     ohl = 2 * boff if wide else max(4, -(-P // 4) * 4)
     ohw = ohl // 4
-    nval = nv * (384 if is64 else 128)
+    nval = nv * (256 if is64 else 128)
     r = nval + 32 + ohw + 2
     return P, boff, ohw, nval, -(-r // 8) * 8
 
@@ -362,13 +362,9 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
             ts_refs = None
         s = pl.program_id(0)
         buf = packed_ref[0]
-        # values arrive PRE-SPLIT (pack time): ah | al | vl planes — see _packed_rows
-        vah = [jax.lax.bitcast_convert_type(buf[p * 128 : (p + 1) * 128], jnp.float32)
-               for p in range(nv)]
-        val = [jax.lax.bitcast_convert_type(buf[(nv + p) * 128 : (nv + p + 1) * 128],
-                                            jnp.float32)
-               for p in range(nv)]
-        vl = [jax.lax.bitcast_convert_type(buf[(2 * nv + p) * 128 : (2 * nv + p + 1) * 128],
+        vh = [jax.lax.bitcast_convert_type(buf[p * 128 : (p + 1) * 128], jnp.float32)
+              for p in range(nv)]
+        vl = [jax.lax.bitcast_convert_type(buf[(nv + p) * 128 : (nv + p + 1) * 128],
                                            jnp.float32)
               for p in range(nv)]
         idx = _unpack_bytes(buf[nval : nval + 32], 128)
@@ -407,12 +403,11 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
                 bh, bl = _split(gh)  # shared across the r block rows
                 for i in range(r):
                     t = c * r + i
-                    ah = vah[i * r + j]
-                    al = val[i * r + j]
+                    v_h = vh[i * r + j]
                     v_l = vl[i * r + j]
-                    v_h = ah + al  # exact: (ah, al) is the Dekker split of v_h
                     # Dekker two_prod (FMA-free) + first-order cross terms
                     p = v_h * gh
+                    ah, al = _split(v_h)
                     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
                     # all three cross terms: vl*gl is ~2^-48|p| — the same order as the
                     # representation floor, and heavy-cancellation rows (|y| ~ 1e-6|p|)
@@ -749,20 +744,11 @@ def _bucket_numpy(plan: SwellPlan, dtype):
 def _pack_bucket(bk, vals, log2d):
     """Pack one bucket's per-step arrays into a single (nsteps, R, 128) int32
     buffer — ONE large DMA per grid step instead of five small ones (measured:
-    64KB-block streams reach ~260 GB/s, 256KB single blocks ~750 GB/s).
-
-    f64 value planes are stored PRE-SPLIT as (ah, al, vl): the Dekker 12-bit
-    halves of vh are computed here in strict f32 (matching the kernel's old
-    in-kernel `_split`) so each SpMV step saves 4 VPU ops per slot."""
+    64KB-block streams reach ~260 GB/s, 256KB single blocks ~750 GB/s)."""
     is64 = len(vals) == 2
     P, boff, ohw, nval, rpad = _packed_rows(log2d, is64, bk.wide, bk.nv)
     assert bk.onehot.shape[1] == 4 * ohw, (bk.onehot.shape, ohw, bk.wide)
     n = bk.nsteps
-    if is64:
-        vh, vl = vals
-        c = np.float32(4097.0) * vh
-        ah = c - (c - vh)
-        vals = (ah, vh - ah, vl)
     parts = [v.view(np.int32) for v in vals]
     parts.append(_pack32(bk.lidx))
     parts.append(_pack32(bk.onehot.astype(np.uint8)))
@@ -785,7 +771,9 @@ _SWELL_CACHE: dict = {}
 # failure falls back to a live build.  Reference analog: the analyze pre-pass
 # whose cost csr_adaptive_plus profiles separately (csr_adaptive_plus_spmv.cpp:92-129)
 # — here it is additionally persisted across processes.
-_PLAN_CACHE_ABI = 3  # v3: f64 value planes stored pre-split (ah | al | vl)
+# v4 = v2 array layout + the depth-gated BSR detection policy (the decided r is
+# baked into a cached plan, so the policy version must be part of the key)
+_PLAN_CACHE_ABI = 4
 
 
 def _plan_cache_path(rp, ci, v, shape, dtype):
