@@ -48,7 +48,7 @@ def make_kernel(log2d, wide, dual, classpos, ab):
             chunkb_ref, o_ref = rest[0], rest[1]
             ts_refs = rest[2:]
         else:
-            (o_ref,) = rest
+            o_ref = rest[0]
             ts_refs = None
         s = pl.program_id(0)
         buf = packed_ref[0]
@@ -62,7 +62,45 @@ def make_kernel(log2d, wide, dual, classpos, ab):
         if dual:
             sets_hi_b = [[chunkb_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]]
             sets_lo_b = [[chunkb_ref[0, (3 + i) * 128 : (4 + i) * 128] for i in range(3)]]
-        if ab == "no_tables":
+        if ab == "pipe_tables":
+            # SCHEDULING PROBE (semantics wrong: off-by-one tables): build this
+            # step's tables into locals while the VPU chain consumes LAST step's
+            # tables from scratch — measures whether Mosaic overlaps the MXU
+            # table matmuls with the dependent VPU chain of the previous build.
+            tsa_ref, tsb_ref = rest[-2], rest[-1]
+            nrows = boff + P if wide else P
+            ohr = oh[:nrows]
+            ohx = ohr.astype(jnp.bfloat16)
+
+            def build(planes):
+                ts = jax.lax.dot_general(
+                    ohx, planes[-1], (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)
+                for cpl in reversed(planes[:-1]):
+                    ts = ts + jax.lax.dot_general(
+                        ohx, cpl, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+                return ts
+
+            new_a = build(sets_hi[0])
+            new_b = build(sets_lo[0])
+            old_a = tsa_ref[:nrows]
+            old_b = tsb_ref[:nrows]
+
+            def expand(t):
+                if D == 1:
+                    return t
+                return jnp.broadcast_to(t[None], (D, P, 128)).reshape(128, 128)
+
+            pairs = [
+                (expand(old_a[:P]), expand(old_a[boff:boff + P]) if wide else None),
+                (expand(old_b[:P]), expand(old_b[boff:boff + P]) if wide else None),
+            ]
+            tsa_ref[:nrows] = new_a
+            tsb_ref[:nrows] = new_b
+        elif ab == "no_tables":
             t = chunk_ref[0, :128].astype(jnp.float32)
             te = _expand_tile(t[:P], D, P)
             pairs = [(te, te if wide else None), (te, te if wide else None)]
@@ -119,6 +157,18 @@ def make_kernel(log2d, wide, dual, classpos, ab):
             outs = S._scatter_exact(rb, (p, e), P)
             p, e = outs[0], outs[1]
         first = first_r[s]
+        if ab == "uncond_acc":
+            # branch-free: gate the carried value by (first == 0) instead of
+            # predicating two bodies — probes whether pl.when is the cliff
+            m = (first == 0).astype(jnp.float32)
+            cur = o_ref[0, :ROUT] * m
+            cure = o_ref[0, ROUT:] * m
+            ssum = cur + p
+            bb = ssum - cur
+            err = (cur - (ssum - bb)) + (p - bb)
+            o_ref[0, :ROUT] = ssum
+            o_ref[0, ROUT:] = cure + e + err
+            return
 
         @pl.when(first == 1)
         def _():
@@ -131,6 +181,12 @@ def make_kernel(log2d, wide, dual, classpos, ab):
             if ab == "no_acc2sum":
                 o_ref[0, :ROUT] = cur + p
                 o_ref[0, ROUT:] = o_ref[0, ROUT:] + e
+            elif ab == "fast2sum_acc":
+                # numerically WRONG (needs |cur|>=|p|) — cost probe only
+                ssum = cur + p
+                err = (cur - ssum) + p
+                o_ref[0, :ROUT] = ssum
+                o_ref[0, ROUT:] = o_ref[0, ROUT:] + e + err
             else:
                 ssum = cur + p
                 bb = ssum - cur
@@ -151,6 +207,7 @@ def call_ab(ba, chunks, log2d, wide, dual, classpos, nout, ab):
     if dual:
         in_specs.append(pl.BlockSpec((1, chunks.shape[1], 128),
                                      lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)))
+    n_scratch = 2 if (dual or ab == "pipe_tables") else 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nsteps,),
@@ -158,7 +215,7 @@ def call_ab(ba, chunks, log2d, wide, dual, classpos, nout, ab):
         out_specs=pl.BlockSpec((1, 2 * ROUT, 128),
                                lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
         scratch_shapes=[pltpu.VMEM((S._ts_rows(log2d, wide), 128), jnp.float32)
-                        for _ in range(2)] if dual else [],
+                        for _ in range(n_scratch)],
     )
     args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ())
     return pl.pallas_call(
@@ -176,7 +233,7 @@ def main():
     dp = get_swell_plan(csr, np.float64)
     bargs = _bucket_args(dp, False)
     st = _statics(dp, False)
-    log2ds = st[-2]
+    log2ds = st[8]
     nout, nchunks, delta = st[2], st[3], st[7]
     x, _ = random_x_y(csr.shape[1], csr.shape[0], seed=42, dtype=np.float64)
     chunks = _prep_x_pure(jnp.asarray(x), nchunks, True, native=False, delta=delta)
@@ -189,8 +246,7 @@ def main():
         nsteps = ba[5].shape[0]
         print(f"bucket {bi}: D={1 << l2d} wide={int(wide)} dual={int(dual)} "
               f"cpos={int(cpos)} steps={nsteps}", flush=True)
-        variants = ["full", "no_tables", "no_gather", "no_dekker", "no_fold2sum",
-                    "no_acc2sum"] + (["no_mask"] if cpos and l2d > 0 else [])
+        variants = ["full", "no_tables", "pipe_tables", "no_gather"]
         for ab in variants:
 
             @jax.jit

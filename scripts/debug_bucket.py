@@ -28,8 +28,8 @@ m, n = csr.shape
 x, _ = random_x_y(n, m, seed=42, dtype=np.float64)
 dp = get_swell_plan(csr, np.float64)
 st = _statics(dp, False)
-log2ds = st[-2]
-r = st[-1]
+log2ds = st[8]
+r = st[9]
 nout, nchunks, delta = st[2], st[3], st[7]
 chunks_tpu = _prep_x_pure(jnp.asarray(x), nchunks, True, native=False, delta=delta, r=r)
 chunks_nat = _prep_x_pure(jnp.asarray(x), nchunks, True, native=True, delta=delta, r=r)[0]
@@ -37,9 +37,16 @@ bargs_tpu = _bucket_args(dp, False)
 bargs_int = _bucket_args(dp, True)
 
 for bi, (bt, bn, (l2d, wide, dual, cpos, allout)) in enumerate(zip(bargs_tpu, bargs_int, log2ds)):
-    csel, cselb, hasb, osel, first, packed, touched = bt
+    ohs = None
+    use_pipe = st[10] and len(bt) == 11
+    if len(bt) == 11:
+        (cp, cbp, hbp, cn, cbn, hbn, osel, first, ohs, packed, touched) = bt
+        csel, cselb, hasb = (cp, cbp, hbp) if use_pipe else (cn, cbn, hbn)
+    else:
+        csel, cselb, hasb, osel, first, packed, touched = bt
     o = np.asarray(_call_f64(csel, cselb, hasb, osel, first, packed, chunks_tpu,
-                             l2d, wide, nout, False, dual, cpos, r))
+                             l2d, wide, nout, False, dual, cpos, r,
+                             ohs=ohs, pipe=use_pipe))
     o = o.reshape(nout, r, 2, ROUT, 128)
     got = o[:, :, 0].astype(np.float64) + o[:, :, 1].astype(np.float64)
     ci_, cib, hb, osel_i, first_i, vals, lidx, oh, rbvec, touched_i = bn

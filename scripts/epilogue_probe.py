@@ -27,7 +27,7 @@ x, _ = random_x_y(n, m, seed=7, dtype=np.float64)
 dp = get_swell_plan(csr, np.float64)
 bargs = _bucket_args(dp, False)
 st = _statics(dp, False)
-log2ds = st[-2]
+log2ds = st[8]
 nout, nchunks, delta = st[2], st[3], st[7]
 dx = jnp.asarray(x)
 
@@ -48,9 +48,16 @@ def loop_kernels(bargs, xx, nn):
     def body(i, c):
         acc = c
         for ba, (log2d, wide, dual, classpos, allout) in zip(bargs, log2ds):
-            csel, cselb, hasb, osel, first, packed, touched = ba
+            ohs = None
+            use_pipe = st[10] and len(ba) == 11
+            if len(ba) == 11:
+                (cp, cbp, hbp, cn, cbn, hbn, osel, first, ohs, packed, touched) = ba
+                csel, cselb, hasb = (cp, cbp, hbp) if use_pipe else (cn, cbn, hbn)
+            else:
+                csel, cselb, hasb, osel, first, packed, touched = ba
             o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
-                          log2d, wide, nout, False, dual, classpos)
+                          log2d, wide, nout, False, dual, classpos,
+                          ohs=ohs, pipe=use_pipe)
             acc = acc + o[0, 0, 0].astype(jnp.float64) * 1e-30
         return acc
 

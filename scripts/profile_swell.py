@@ -37,27 +37,36 @@ def main():
     dp = get_swell_plan(csr, np.float64)
     bargs = _bucket_args(dp, False)
     st = _statics(dp, False)
-    log2ds = st[-2]  # per-bucket (log2d, wide, dual, classpos, allout) flags
+    log2ds = st[8]  # per-bucket (log2d, wide, dual, classpos, allout) flags
     nout, nchunks, delta = st[2], st[3], st[7]
     chunks = _prep_x_pure(jnp.asarray(x), nchunks, True, native=False, delta=delta)
     pert = chunks[:, :1].astype(jnp.float32)
     print(f"plan: fill={dp.plan.fill_efficiency:.3f} steps={dp.plan.total_steps}",
           flush=True)
 
+    pipe = st[10]
     for bi, (ba, (l2d, wide, dual, cpos, allout)) in enumerate(zip(bargs, log2ds)):
-        csel, cselb, hasb, osel, first, packed, touched = ba
-        nsteps = packed.shape[0]
+        hasb = ba[2]
+        nsteps = ba[-2].shape[0]
         ndual = int((np.asarray(hasb) != 0).sum())
 
         @functools.partial(jax.jit, static_argnames=())
         def loop(ba, chunks, pert, n, l2d=l2d, wide=wide, dual=dual, cpos=cpos):
-            csel, cselb, hasb, osel, first, packed, touched = ba
+            ohs = None
+            use_pipe = pipe and len(ba) == 11
+            if len(ba) == 11:
+                (cp, cbp, hbp, cn, cbn, hbn, osel, first, ohs, packed, touched) = ba
+                csel, cselb, hasb = (cp, cbp, hbp) if use_pipe else (cn, cbn, hbn)
+            else:
+                csel, cselb, hasb, osel, first, packed, touched = ba
 
             def body(i, c):
                 ch = jnp.concatenate(
                     [(pert * (1.0 + c * 1e-30)).astype(jnp.bfloat16), chunks[:, 1:]],
                     axis=1)
-                o = _call_f64(csel, cselb, hasb, osel, first, packed, ch, l2d, wide, nout, False, dual, cpos)
+                o = _call_f64(csel, cselb, hasb, osel, first, packed, ch, l2d, wide,
+                              nout, False, dual, cpos,
+                              ohs=ohs, pipe=use_pipe)
                 return c + o[0, 0, 0] * 1e-30
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))

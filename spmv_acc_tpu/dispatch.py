@@ -42,16 +42,34 @@ class Handle:
 # ELL side-cache (host conversion is heavy; cache alongside the plan)
 _ELL_CACHE: dict = {}
 
+# Densifying to (m, max_row_len) is O(m * maxlen): one 4120-long row in a 200k-row
+# power-law matrix made vector_row allocate 3.07GB temporaries and OOM the chip
+# (measured).  The reference's analog gates on row stats and falls back
+# (hip-thread-row/thread_row.cpp:17-49); strategies that need the dense ELL fall
+# back to `flat` past this cell budget.
+_ELL_MAX_CELLS = 1 << 27
+
+
+def ell_cells(csr: CSR, tune: TuneConfig) -> int:
+    """Padded cell count the dense ELL of `csr` would allocate."""
+    lens = np.diff(np.asarray(csr.row_ptr))
+    maxlen = int(lens.max()) if len(lens) else 1
+    wm = tune.ell_width_multiple
+    width = max(wm, -(-maxlen // wm) * wm)
+    return int(csr.rows) * width
+
 
 def _get_ell(csr: CSR, tune: TuneConfig) -> ELL:
     key = (id(csr.row_ptr), csr.shape, csr.nnz, "ell", tune.ell_width_multiple)
     e = _ELL_CACHE.get(key)
     if e is None:
+        from .utils.transfer import asarray_chunked
+
         rp, ci, v, shape = csr.to_numpy()
         ec, ev, _, _ = csr_to_ell_arrays(
             rp, ci, v, shape, width_multiple=tune.ell_width_multiple
         )
-        e = ELL(jnp.asarray(ec), jnp.asarray(ev), csr.shape)
+        e = ELL(asarray_chunked(ec), asarray_chunked(ev), csr.shape)
         _ELL_CACHE[key] = e
     return e
 
@@ -123,6 +141,10 @@ def _run(strategy: str, alpha, beta, csr: CSR, x, y, plan: Plan):
     if strategy == "line":
         return _xla.spmv_line(alpha, beta, csr, x, y, plan)
     if strategy == "ell":
+        if ell_cells(csr, plan.tune) > _ELL_MAX_CELLS:  # dense-ELL blowup guard
+            from .ops import flat as _flat
+
+            return _flat.spmv_flat(alpha, beta, csr, x, y, plan)
         ell = _get_ell(csr, plan.tune)
         return _xla.spmv_ell(alpha, beta, ell, x, y, csr.rows)
     if strategy == "flat":
@@ -130,6 +152,10 @@ def _run(strategy: str, alpha, beta, csr: CSR, x, y, plan: Plan):
 
         return _flat.spmv_flat(alpha, beta, csr, x, y, plan)
     if strategy == "vector_row":
+        if ell_cells(csr, plan.tune) > _ELL_MAX_CELLS:  # dense-ELL blowup guard
+            from .ops import flat as _flat
+
+            return _flat.spmv_flat(alpha, beta, csr, x, y, plan)
         from .ops import vector_row as _vr
 
         return _vr.spmv_vector_row(alpha, beta, csr, x, y, plan)

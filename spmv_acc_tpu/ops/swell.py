@@ -165,6 +165,60 @@ def _tables_dual(oh, pa_sets, pb_sets, has_b, ts_refs, P, D, wide):
     ]
 
 
+def _build_tables_refs(oh, pa_sets, pb_sets, has_b, ts_refs, nrows):
+    """Write one step's table sets into ts_refs (no read-back) — the write half
+    of _tables_dual, used by the software-pipelined kernels to build step s+1's
+    tables while step s's VPU chain runs (measured: Mosaic overlaps the
+    independent MXU matmuls with the chain, -14..16%/step on boneS10 buckets)."""
+    ohr = oh[:nrows]
+
+    def build(ohx, planes):
+        ts = _dot1(ohx, planes[-1])
+        for c in reversed(planes[:-1]):
+            ts = ts + _dot1(ohx, c)
+        return ts
+
+    if pb_sets is None:
+        ohx = ohr.astype(jnp.bfloat16)
+        for ref, ps in zip(ts_refs, pa_sets):
+            ref[:nrows] = build(ohx, ps)
+        return
+
+    @pl.when(has_b == 0)
+    def _():
+        ohx = ohr.astype(jnp.bfloat16)
+        for ref, ps in zip(ts_refs, pa_sets):
+            ref[:nrows] = build(ohx, ps)
+
+    @pl.when(has_b == 1)
+    def _():
+        oha = (ohr & 1).astype(jnp.bfloat16)
+        ohb = (ohr >> 1).astype(jnp.bfloat16)
+        for ref, pa, pb in zip(ts_refs, pa_sets, pb_sets):
+            ref[:nrows] = build(oha, pa) + build(ohb, pb)
+
+    @pl.when(has_b == 2)
+    def _():
+        ohx = (ohr >> 1).astype(jnp.bfloat16)
+        for ref, ps in zip(ts_refs, pb_sets):
+            ref[:nrows] = build(ohx, ps)
+
+
+def _read_pairs(ts_refs, P, D, wide):
+    """Read the (tableA, tableB) pairs for the CURRENT step from ts_refs."""
+    boff = max(P, 8)
+
+    def expand(t):
+        if D == 1:
+            return t
+        return jnp.broadcast_to(t[None], (D, P, 128)).reshape(128, 128)
+
+    return [
+        (expand(ref[:P]), expand(ref[boff : boff + P]) if wide else None)
+        for ref in ts_refs
+    ]
+
+
 def _unpack_bytes(words, nrows):
     """(W,128) int32 -> (4W,128) int32 of byte planes; logical row j*W + k is byte
     j of word row k (the plan packs in exactly this order)."""
@@ -249,7 +303,7 @@ def _expand_tile(t, D, P):
 
 
 def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int = 1,
-                     k: int = 1):
+                     k: int = 1, pipe: bool = False):
     """r = 1: scalar CSR step.  r > 1: BSR micro-block step — each slot holds an
     r x r dense block (nv = r*r value planes sharing ONE set of indices/one-hots),
     x is pre-sliced into r interleaved sub-vectors (x_j = x[j::r]) whose chunk
@@ -269,11 +323,18 @@ def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
 
     def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
                *rest):
-        if dual:
+        if pipe:
+            if dual:
+                chunkb_ref, ohn_ref, o_ref = rest[0], rest[1], rest[2]
+                ts_refs = rest[3:]
+            else:
+                ohn_ref, o_ref = rest[0], rest[1]
+                ts_refs = rest[2:]
+        elif dual:
             chunkb_ref, o_ref = rest[0], rest[1]
             ts_refs = rest[2:]
         else:
-            (o_ref,) = rest
+            o_ref = rest[0]
             ts_refs = None
         s = pl.program_id(0)
         buf = packed_ref[0]
@@ -290,7 +351,26 @@ def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
             if dual:
                 pb_sets.append([chunkb_ref[0, base + i * 128 : base + (i + 1) * 128]
                                 for i in range(3)])
-        pairs = _tables_dual(oh, pa_sets, pb_sets, hasb_r[s], ts_refs, P, D, wide)
+        nrows_t = boff + P if wide else P
+        if pipe:
+            # step 0 is a zero-value dummy: its tables may be garbage but must
+            # not be NaN (0 * NaN = NaN) — zero the scratch once
+            @pl.when(s == 0)
+            def _():
+                for ref in ts_refs:
+                    ref[...] = jnp.zeros_like(ref)
+
+            pairs = _read_pairs(ts_refs, P, D, wide)
+            # build step s+1's tables NOW (early in program order, so the
+            # mostly-in-order Mosaic scheduler can overlap the MXU matmuls with
+            # the VPU chain below): the chunk operands are indexed by the
+            # PIPE-shifted selectors so they already hold step s+1's blocks, and
+            # hasb_r is the build branch.  The pair loads above are already
+            # issued, so the ref stores here cannot clobber this step's tables.
+            ohn = _unpack_bytes(ohn_ref[0], 4 * ohw)
+            _build_tables_refs(ohn, pa_sets, pb_sets, hasb_r[s], ts_refs, nrows_t)
+        else:
+            pairs = _tables_dual(oh, pa_sets, pb_sets, hasb_r[s], ts_refs, P, D, wide)
         gs = []
         for j in range(S):
             ta, tb = pairs[j]
@@ -342,11 +422,19 @@ def _split(a):
 
 
 def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int = 1,
-                     k: int = 1):
+                     k: int = 1, pipe: bool = False):
     """Compensated two-f32 kernel; r > 1 is the BSR micro-block variant, k > 1 the
     multi-RHS SpMM variant (see _make_f32_kernel).  Output tile layout per tile
     t = c*r + i: hi rows [t*2*ROUT, t*2*ROUT+ROUT), err rows
-    [t*2*ROUT+ROUT, (t+1)*2*ROUT)."""
+    [t*2*ROUT+ROUT, (t+1)*2*ROUT).
+
+    ``pipe``: software-pipelined table builds — each step consumes tables built
+    at step s-1 from scratch and builds step s+1's tables at the END of the
+    body, so the independent MXU matmuls overlap the step's VPU chain (probe:
+    -14..16%/step).  The chunk operands are indexed by PIPE-SHIFTED selectors
+    and a zero-value dummy step leads each bucket, so every real step's tables
+    exist without any conditional build (pl.when around matmuls costs
+    +170..370ns/step in Mosaic — a measured dead end)."""
     nv = r * r
     S = r * k
     P, boff, ohw, nval, _ = _packed_rows(log2d, True, wide, nv)
@@ -354,11 +442,18 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
 
     def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
                *rest):
-        if dual:
+        if pipe:
+            if dual:
+                chunkb_ref, ohn_ref, o_ref = rest[0], rest[1], rest[2]
+                ts_refs = rest[3:]
+            else:
+                ohn_ref, o_ref = rest[0], rest[1]
+                ts_refs = rest[2:]
+        elif dual:
             chunkb_ref, o_ref = rest[0], rest[1]
             ts_refs = rest[2:]
         else:
-            (o_ref,) = rest
+            o_ref = rest[0]
             ts_refs = None
         s = pl.program_id(0)
         buf = packed_ref[0]
@@ -382,11 +477,28 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
                        for i in range(6)]
                 sets_hi_b.append(pbj[:3])
                 sets_lo_b.append(pbj[3:])
-        pairs = _tables_dual(
-            oh, sets_hi + sets_lo,
-            (sets_hi_b + sets_lo_b) if dual else None,
-            hasb_r[s], ts_refs, P, D, wide,
-        )
+        pa_all = sets_hi + sets_lo
+        pb_all = (sets_hi_b + sets_lo_b) if dual else None
+        nrows_t = boff + P if wide else P
+        if pipe:
+            # step 0 is a zero-value dummy: its tables may be garbage but must
+            # not be NaN (0 * NaN = NaN) — zero the scratch once
+            @pl.when(s == 0)
+            def _():
+                for ref in ts_refs:
+                    ref[...] = jnp.zeros_like(ref)
+
+            pairs = _read_pairs(ts_refs, P, D, wide)
+            # build step s+1's tables NOW (early in program order, so the
+            # mostly-in-order Mosaic scheduler can overlap the MXU matmuls with
+            # the VPU chain below): the chunk operands are indexed by the
+            # PIPE-shifted selectors so they already hold step s+1's blocks, and
+            # hasb_r is the build branch.  The pair loads above are already
+            # issued, so the ref stores here cannot clobber this step's tables.
+            ohn = _unpack_bytes(ohn_ref[0], 4 * ohw)
+            _build_tables_refs(ohn, pa_all, pb_all, hasb_r[s], ts_refs, nrows_t)
+        else:
+            pairs = _tables_dual(oh, pa_all, pb_all, hasb_r[s], ts_refs, P, D, wide)
         phs: list = [None] * (r * k)
         pes: list = [None] * (r * k)
         for c in range(k):
@@ -587,8 +699,14 @@ def _ts_rows(log2d: int, wide: bool) -> int:
 
 
 def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
-              interpret, dual=True, classpos=False, r=1, k=1):
+              interpret, dual=True, classpos=False, r=1, k=1,
+              ohs=None, pipe=False):
     nsteps = packed.shape[0]
+    if pipe:
+        # csel/cselb/hasb must be the PIPE-shifted selector set here
+        return _call_piped(csel, cselb, hasb, osel, first, packed, ohs, chunks,
+                           log2d, wide, nout, interpret, dual, classpos,
+                           is64=False)
     in_specs = [
         pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
         pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
@@ -615,9 +733,54 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
     )(*args)
 
 
-def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
-              interpret, dual=True, classpos=False, r=1, k=1):
+def _call_piped(csel_p, cselb_p, hasb_p, osel, first, packed, ohs, chunks,
+                log2d, wide, nout, interpret, dual, classpos, is64):
+    """Software-pipelined call (r=1, k=1 only): PIPE-shifted chunk selectors, a
+    one-step-ahead one-hot stream (ohn) and per-set VMEM table scratch.  The
+    arrays carry the per-bucket dummy first step (see _DeviceSwellPlan)."""
     nsteps = packed.shape[0]
+    nsets = 2 if is64 else 1
+    in_specs = [
+        pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
+        pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+    ]
+    if dual:
+        in_specs.append(pl.BlockSpec((1, chunks.shape[1], 128),
+                                     lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)))
+    in_specs.append(pl.BlockSpec(
+        (1, ohs.shape[1], 128),
+        lambda s, *_: (jnp.minimum(s + 1, nsteps - 1), _Z, _Z)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, (2 if is64 else 1) * ROUT, 128),
+            lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
+        scratch_shapes=[pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32)
+                        for _ in range(nsets)],
+    )
+    make = _make_f64_kernel if is64 else _make_f32_kernel
+    args = ((csel_p, cselb_p, hasb_p, osel, first, packed, chunks)
+            + ((chunks,) if dual else ()) + (ohs,))
+    return pl.pallas_call(
+        make(log2d, wide, dual, classpos, 1, 1, pipe=True),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nout, (2 if is64 else 1) * ROUT, 128),
+                                       jnp.float32),
+        interpret=interpret,
+    )(*args)
+
+
+def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
+              interpret, dual=True, classpos=False, r=1, k=1,
+              ohs=None, pipe=False):
+    nsteps = packed.shape[0]
+    if pipe:
+        # csel/cselb/hasb must be the PIPE-shifted selector set here
+        return _call_piped(csel, cselb, hasb, osel, first, packed, ohs, chunks,
+                           log2d, wide, nout, interpret, dual, classpos,
+                           is64=True)
     if not dual:
         # exact legacy 3-scalar call for single-chunk buckets (A/B: isolate scalar count)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -684,8 +847,10 @@ class _DeviceSwellPlan:
         self.tail = (jnp.asarray(plan.tail_rows), jnp.asarray(plan.tail_ci), jnp.asarray(tv))
         if np_buckets is None:
             np_buckets = _bucket_numpy(plan, self.dtype)
-        self.buckets = [
-            dict(
+        is64 = self.dtype == np.float64
+        self.buckets = []
+        for nb in np_buckets:
+            b = dict(
                 log2d=nb["log2d"], wide=nb["wide"], dual=nb["dual"],
                 classpos=nb["classpos"], allout=nb["allout"],
                 packed=jnp.asarray(nb["packed"]),
@@ -696,8 +861,44 @@ class _DeviceSwellPlan:
                 first=jnp.asarray(nb["first"]),
                 touched=jnp.asarray(nb["touched"]),
             )
-            for nb in np_buckets
-        ]
+            if self.r == 1:
+                # Software-pipelined table builds (r=1 kernels).  A zero-value
+                # DUMMY step is prepended so EVERY real step's tables are built
+                # unconditionally by its predecessor (no pl.when around the
+                # matmuls — Mosaic's matmul predication tax, measured
+                # +170..370ns/step, made a conditional-build design SLOWER):
+                #   * packed/osel/first gain the dummy (zero values/one-hot ->
+                #     the dummy writes zeros to its out window with first=1 and
+                #     the old first step accumulates; bit-identical results).
+                #   * the PIPE selector set is shifted one step ahead: at step t
+                #     the chunk operands hold chunk[csel_old[t]], which is what
+                #     the build for step t+1 (= old step t) needs; hasb_pipe is
+                #     the BUILD branch.  The NONPIPE set keeps old semantics
+                #     (dummy entry repeats the first step, costing no extra DMA)
+                #     for the k>1 SpMM kernels and SPMV_TPU_NO_PIPE A/B.
+                #   * ohs streams the one-hot rows of packed one block ahead.
+                cs, cb, hb = nb["csel"], nb["cselb"], nb["hasb"]
+                _, _, ohw, nval, _ = _packed_rows(nb["log2d"], is64, nb["wide"], 1)
+                packed_p = np.concatenate(
+                    [np.zeros((1,) + nb["packed"].shape[1:], nb["packed"].dtype),
+                     nb["packed"]])
+                ohs = np.ascontiguousarray(
+                    packed_p[:, nval + 32 : nval + 32 + ohw])
+                first_p = np.concatenate([[np.int32(1)], nb["first"]])
+                first_p[1] = 0
+                # original (dummy-free) step arrays for the interp path
+                b["orig"] = (b["csel"], b["cselb"], b["hasb"], b["osel"], b["first"])
+                b["packed"] = jnp.asarray(packed_p)
+                b["ohs"] = jnp.asarray(ohs)
+                b["osel"] = jnp.asarray(np.concatenate([nb["osel"][:1], nb["osel"]]))
+                b["first"] = jnp.asarray(first_p)
+                b["csel_p"] = jnp.asarray(np.concatenate([cs, cs[-1:]]))
+                b["cselb_p"] = jnp.asarray(np.concatenate([cb, cb[-1:]]))
+                b["hasb_p"] = jnp.asarray(np.concatenate([hb, hb[-1:]]))
+                b["csel"] = jnp.asarray(np.concatenate([cs[:1], cs]))
+                b["cselb"] = jnp.asarray(np.concatenate([cb[:1], cb]))
+                b["hasb"] = jnp.asarray(np.concatenate([np.zeros(1, hb.dtype), hb]))
+            self.buckets.append(b)
 
     def prep_x(self, x):
         """bf16 chunk planes for the TPU kernels (see _prep_x_pure)."""
@@ -940,13 +1141,21 @@ def _bucket_args(dp: _DeviceSwellPlan, interp: bool):
         if interp:
             if "interp_args" not in b:
                 hb = dp._host_buckets[i]
-                b["interp_args"] = (
-                    b["csel"], b["cselb"], b["hasb"], b["osel"], b["first"],
+                # the r==1 TPU arrays carry the pipe dummy step; the interp
+                # (native-dtype) path needs the ORIGINAL step arrays
+                sel = b.get("orig", (b["csel"], b["cselb"], b["hasb"],
+                                     b["osel"], b["first"]))
+                b["interp_args"] = sel + (
                     jnp.asarray(hb.values), jnp.asarray(hb.lidx),
                     jnp.asarray(hb.onehot), jnp.asarray(hb.rbvec)[:, None, :],
                     b["touched"],
                 )
             out.append(b["interp_args"])
+        elif "ohs" in b:
+            # r == 1: pipe (shifted) + nonpipe selector sets, shared big arrays
+            out.append((b["csel_p"], b["cselb_p"], b["hasb_p"],
+                        b["csel"], b["cselb"], b["hasb"], b["osel"], b["first"],
+                        b["ohs"], b["packed"], b["touched"]))
         else:
             out.append((b["csel"], b["cselb"], b["hasb"], b["osel"], b["first"],
                         b["packed"], b["touched"]))
@@ -954,13 +1163,17 @@ def _bucket_args(dp: _DeviceSwellPlan, interp: bool):
 
 
 def _statics(dp: _DeviceSwellPlan, interp: bool):
+    import os
+
     p = dp.plan
+    pipe = dp.r == 1 and not os.environ.get("SPMV_TPU_NO_PIPE")
     return (
         bool(dp.dtype == np.float64), bool(interp), p.nout, p.nchunks,
         p.copies, p.tile_rb, dp.out_rows, p.delta,
         tuple((b["log2d"], b["wide"], b["dual"], b["classpos"], b["allout"])
               for b in dp.buckets),
         dp.r,
+        pipe,
     )
 
 
@@ -1052,7 +1265,7 @@ def _prep_x_pure(x, nchunks, is64, native, delta=0, r=1, k=1):
 
 def swell_ax(bargs, tail, x, statics):
     """Pure A@x over the swell plan; safe to trace inside any outer jit/loop."""
-    is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r = statics
+    is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe = statics
     out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
     if not bargs:
         y = jnp.zeros((rows,), out_dt)
@@ -1060,6 +1273,20 @@ def swell_ax(bargs, tail, x, statics):
         chunks = _prep_x_pure(x, nchunks, is64, native=interp, delta=delta, r=r)
         total = None
         for ba, (log2d, wide, dual, classpos, allout) in zip(bargs, log2ds):
+            ohs = None
+            # dual buckets keep the unpiped path: their 3-branch pl.when build
+            # pays Mosaic's matmul-predication tax twice when pipelined
+            # (measured +5.5% on dual-heavy Bump_2911 vs -4% on boneS10).
+            # Tiny buckets skip it too (the dummy step doubles a 1-step bucket).
+            pipe_b = pipe and not dual and ba[-2].shape[0] >= 9
+            if not interp and len(ba) == 11:
+                # pick the PIPE-shifted or nonpipe selector set (same big arrays)
+                (csel_p, cselb_p, hasb_p, csel_n, cselb_n, hasb_n, osel, first,
+                 ohs, packed, touched) = ba
+                csel, cselb, hasb = ((csel_p, cselb_p, hasb_p) if pipe_b
+                                     else (csel_n, cselb_n, hasb_n))
+            elif not interp:
+                csel, cselb, hasb, osel, first, packed, touched = ba
             if interp:
                 csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
                 o = _call_native_interp_r(csel, cselb, hasb, osel, first, vals,
@@ -1068,9 +1295,9 @@ def swell_ax(bargs, tail, x, statics):
                 o = o.reshape(nout, r, ROUT, 128)
                 part = o if is64 else o.astype(jnp.float32)
             elif is64:
-                csel, cselb, hasb, osel, first, packed, touched = ba
                 o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False, dual, classpos, r)
+                              log2d, wide, nout, False, dual, classpos, r,
+                              ohs=ohs, pipe=pipe_b)
                 o = o.reshape(nout, r, 2, ROUT, 128)
                 hi, er = o[:, :, 0], o[:, :, 1]
                 if allout:
@@ -1082,9 +1309,9 @@ def swell_ax(bargs, tail, x, statics):
                         mask, er, 0.0
                     ).astype(jnp.float64)
             else:
-                csel, cselb, hasb, osel, first, packed, touched = ba
                 o = _call_f32(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False, dual, classpos, r)
+                              log2d, wide, nout, False, dual, classpos, r,
+                              ohs=ohs, pipe=pipe_b)
                 o = o.reshape(nout, r, ROUT, 128)
                 part = o if allout else jnp.where(touched[:, None, None, None], o, 0.0)
             total = part if total is None else total + part
@@ -1109,7 +1336,7 @@ def swell_amx(bargs, tail, X, statics, k):
     columns (k table builds / gathers / folds off the same one-hot and lidx),
     so the dominant DMA bytes of SpMV amortize k-fold.  Layout mirrors
     ``swell_ax`` with an extra leading k axis on the output tiles."""
-    is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r = statics
+    is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe = statics
     out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
     if not bargs:
         y = jnp.zeros((rows, k), out_dt)
@@ -1117,6 +1344,11 @@ def swell_amx(bargs, tail, X, statics, k):
         chunks = _prep_x_pure(X, nchunks, is64, native=interp, delta=delta, r=r, k=k)
         total = None
         for ba, (log2d, wide, dual, classpos, allout) in zip(bargs, log2ds):
+            if not interp and len(ba) == 11:  # k>1 kernels use the NONPIPE set
+                (_cp, _cbp, _hbp, csel, cselb, hasb, osel, first,
+                 _ohs, packed, touched) = ba
+            elif not interp:
+                csel, cselb, hasb, osel, first, packed, touched = ba
             if interp:
                 csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
                 o = _call_native_interp_r(csel, cselb, hasb, osel, first, vals,
@@ -1125,7 +1357,6 @@ def swell_amx(bargs, tail, X, statics, k):
                 o = o.reshape(nout, k, r, ROUT, 128)
                 part = o if is64 else o.astype(jnp.float32)
             elif is64:
-                csel, cselb, hasb, osel, first, packed, touched = ba
                 o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
                               log2d, wide, nout, False, dual, classpos, r, k)
                 o = o.reshape(nout, k, r, 2, ROUT, 128)
@@ -1138,7 +1369,6 @@ def swell_amx(bargs, tail, X, statics, k):
                         mask, er, 0.0
                     ).astype(jnp.float64)
             else:
-                csel, cselb, hasb, osel, first, packed, touched = ba
                 o = _call_f32(csel, cselb, hasb, osel, first, packed, chunks,
                               log2d, wide, nout, False, dual, classpos, r, k)
                 o = o.reshape(nout, k, r, ROUT, 128)

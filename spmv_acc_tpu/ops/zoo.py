@@ -101,7 +101,11 @@ def _row_packed(csr, width_unit: int):
     vals = np.zeros((m, width), dtype=v.dtype)
     cols[rows, slots] = ci
     vals[rows, slots] = v
-    out = (jnp.asarray(cols), jnp.asarray(vals), tail)
+    # chunked upload: a single ~800MB device_put exceeds the axon tunnel's
+    # request limit (measured HTTP 413 on a 200k x 512 f64 pack)
+    from ..utils.transfer import asarray_chunked
+
+    out = (asarray_chunked(cols), asarray_chunked(vals), tail)
     _PACK_CACHE[key] = (csr.row_ptr, out)
     return out
 
@@ -215,8 +219,10 @@ def _acsr_bins(csr):
         vals = np.zeros((len(sel_rows), int(w)), dtype=v.dtype)
         cols[rnew, slots[inbin]] = ci[inbin]
         vals[rnew, slots[inbin]] = v[inbin]
-        bins.append((jnp.asarray(sel_rows.astype(np.int32)), jnp.asarray(cols),
-                     jnp.asarray(vals), int(w)))
+        from ..utils.transfer import asarray_chunked
+
+        bins.append((jnp.asarray(sel_rows.astype(np.int32)), asarray_chunked(cols),
+                     asarray_chunked(vals), int(w)))
     out = (bins, tail)
     _PACK_CACHE[key] = (csr.row_ptr, out)
     return out

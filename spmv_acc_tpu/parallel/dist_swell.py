@@ -119,10 +119,17 @@ def build_dist_swell(csr: CSR, num_shards: int, dtype=None) -> DistSwellPlan:
     # localize statics: nout -> K, rows -> rows_local, allout -> False (touched
     # masking drops windows a shard never initializes)
     log2ds = tuple((l2d, wide, dual, cpos, False) for (l2d, wide, dual, cpos, _a) in st[8])
-    statics = (st[0], st[1], K, st[3], st[4], st[5], rows_local, st[7], log2ds, st[9])
+    # pipe=False: the localized per-shard step slices do not carry the
+    # own/hasbn/ohs pipelining arrays (the kernels fall back to in-step builds)
+    statics = (st[0], st[1], K, st[3], st[4], st[5], rows_local, st[7], log2ds, st[9],
+               False)
     names_tpu = ("csel", "cselb", "hasb", "osel", "first", "packed", "touched")
+    names_tpu11 = ("csel_p", "cselb_p", "hasb_p", "csel", "cselb", "hasb",
+                   "osel", "first", "ohs", "packed", "touched")
     names_interp = ("csel", "cselb", "hasb", "osel", "first", "vals", "lidx",
                     "onehot", "rbvec", "touched")
+    # emitted per-shard layout is ALWAYS the 7-field TPU tuple (or interp tuple):
+    # the localized slices use the NONPIPE selector semantics
     names = names_interp if interp else names_tpu
     # pass 1: per-shard step slices + chunk spans (for the 1-hop halo window)
     all_fields = []
@@ -130,7 +137,8 @@ def build_dist_swell(csr: CSR, num_shards: int, dtype=None) -> DistSwellPlan:
     c_lo = np.full(D, np.iinfo(np.int64).max, dtype=np.int64)
     c_hi = np.full(D, -1, dtype=np.int64)
     for bi, ba in enumerate(gargs):
-        fields = {n: np.asarray(a) for n, a in zip(names, ba)}
+        in_names = names if interp else (names_tpu11 if len(ba) == 11 else names_tpu)
+        fields = {n: np.asarray(a) for n, a in zip(in_names, ba)}
         osel = fields["osel"]
         slices = []
         for d in range(D):
@@ -229,7 +237,7 @@ def dist_swell_halo_spmv_fn(dsp: DistSwellPlan, mesh: Mesh, axis: str = "x"):
     PR = int(max(0, int((off_raw + win_elems).max()) - 3 * L))
     offs = jnp.asarray((off_raw + PL).astype(np.int32))
     # window statics: Wc chunks, delta already folded into the slice offset
-    statics = (st[0], st[1], st[2], Wc, st[4], st[5], st[6], 0, st[8], st[9])
+    statics = (st[0], st[1], st[2], Wc, st[4], st[5], st[6], 0, st[8], st[9], False)
     flat, treedef = jax.tree_util.tree_flatten((dsp.bucket_args, dsp.tail))
     nb = len(flat)
     right = [(s, s + 1) for s in range(D - 1)]  # block s -> shard s+1 (left halo)

@@ -165,3 +165,25 @@ def test_vector_row_f64_compensated_kernel_structure():
     golden = (np.asarray(ell.values, dtype=np.float64)[:300]
               * np.asarray(xg, dtype=np.float64)[:300]).sum(axis=1)
     assert verify_y(got, golden).ok
+
+
+def test_ell_blowup_guard_falls_back(monkeypatch):
+    """A long-row outlier must not densify to O(m * maxlen): the ell/vector_row
+    branches fall back to flat past _ELL_MAX_CELLS (measured: a 4120-long row in
+    a 200k-row power-law matrix made vector_row allocate 3.07GB and OOM)."""
+    import jax.numpy as jnp
+
+    from spmv_acc_tpu import dispatch
+    from spmv_acc_tpu.formats.generate import dense_row_outlier_csr, random_x_y
+    from spmv_acc_tpu.ops.golden import host_spmv
+
+    csr = dense_row_outlier_csr(3000, 3000, avg_nnz=4, seed=43)
+    rp, ci, v, _ = csr.to_numpy()
+    x, y = random_x_y(3000, 3000, seed=44)
+    golden = host_spmv(1.0, 1.0, rp, ci, v, x, y)
+    monkeypatch.setattr(dispatch, "_ELL_MAX_CELLS", 1 << 16)
+    assert dispatch.ell_cells(csr, dispatch.DEFAULT_TUNE) > 1 << 16
+    for strat in ("vector_row", "ell"):
+        out = np.asarray(dispatch.spmv(csr, jnp.asarray(x), jnp.asarray(y),
+                                       alpha=1.0, beta=1.0, strategy=strat))
+        assert verify_y(out, golden).ok, strat

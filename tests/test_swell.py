@@ -222,7 +222,7 @@ def test_packed_kernel_structure_interpret(force):
         del os.environ["SPMV_TPU_FORCE_CPOS"]
         del os.environ["SPMV_TPU_NO_BSR"]
     st = _statics(dp, False)
-    log2ds = st[-2]
+    log2ds = st[8]
     nout, nchunks, delta = st[2], st[3], st[7]
     x, _ = random_x_y(csr.shape[1], csr.shape[0], seed=9, dtype=np.float64)
     chunks_tpu = _prep_x_pure(jnp.asarray(x), nchunks, True, native=False, delta=delta)
@@ -231,9 +231,13 @@ def test_packed_kernel_structure_interpret(force):
     bn_all = _bucket_args(dp, True)
     assert bt_all, "plan must have buckets"
     for bt, bn, (l2d, wide, dual, cpos, allout) in zip(bt_all, bn_all, log2ds):
-        csel, cselb, hasb, osel, first, packed, touched = bt
-        o = np.asarray(_call_f64(csel, cselb, hasb, osel, first, packed,
-                                 chunks_tpu, l2d, wide, nout, True, dual, cpos))
+        # r == 1 buckets carry both selector sets: exercise the software-
+        # PIPELINED kernel (the production TPU path) under interpret
+        (csel_p, cselb_p, hasb_p, _cn, _cbn, _hbn, osel, first,
+         ohs, packed, touched) = bt
+        o = np.asarray(_call_f64(csel_p, cselb_p, hasb_p, osel, first, packed,
+                                 chunks_tpu, l2d, wide, nout, True, dual, cpos,
+                                 ohs=ohs, pipe=True))
         got = o[:, :ROUT].astype(np.float64) + o[:, ROUT:].astype(np.float64)
         ci_, cib, hb, osel_i, first_i, vals, lidx, oh, rbvec, touched_i = bn
         ref = np.asarray(_call_native_interp_r(ci_, cib, hb, osel_i, first_i, vals,
@@ -304,7 +308,7 @@ def test_packed_kernel_structure_interpret_multirhs(r_env, k):
     r = dp.r
     assert r == int(r_env) if r_env != "1" else r == 1
     st = _statics(dp, False)
-    log2ds = st[-2]
+    log2ds = st[8]
     nout, nchunks, delta = st[2], st[3], st[7]
     rng = np.random.default_rng(14)
     X = jnp.asarray(rng.uniform(-1, 1, size=(csr.shape[1], k)))
@@ -314,7 +318,11 @@ def test_packed_kernel_structure_interpret_multirhs(r_env, k):
     bn_all = _bucket_args(dp, True)
     assert bt_all, "plan must have buckets"
     for bt, bn, (l2d, wide, dual, cpos, allout) in zip(bt_all, bn_all, log2ds):
-        csel, cselb, hasb, osel, first, packed, touched = bt
+        if len(bt) == 11:  # r == 1: the k>1 kernels use the NONPIPE set
+            (_cp, _cbp, _hbp, csel, cselb, hasb, osel, first,
+             _ohs, packed, touched) = bt
+        else:
+            csel, cselb, hasb, osel, first, packed, touched = bt
         o = np.asarray(_call_f64(csel, cselb, hasb, osel, first, packed,
                                  chunks_tpu, l2d, wide, nout, True, dual, cpos,
                                  r, k))
