@@ -13,6 +13,7 @@ the reference's explicit template-instantiation tables
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Optional
 
@@ -256,6 +257,33 @@ def make_spmv_fn(
     import jax
     import jax.numpy as jnp
 
+    if chosen == "swell":
+        # the plan's slab arrays flow as jit ARGUMENTS: a closure-jit would
+        # embed hundreds of MB as HLO constants (observed: HTTP 413 from the
+        # tunneled compiler at 14M nnz — see ops/swell.py)
+        from .ops.swell import _bucket_args, _interpret, _statics, get_swell_plan, swell_ax
+        from .ops.xla import axpby_finish
+
+        dp = get_swell_plan(csr, csr.values.dtype)
+        interp = _interpret()
+        bargs = _bucket_args(dp, interp)
+        statics = _statics(dp, interp)
+        m = csr.rows
+        dt = csr.values.dtype
+        a = dt.type(alpha)
+        bcoef = dt.type(beta)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _inner(bargs, tail, x, y):
+            ax = swell_ax(bargs, tail, x, statics)[:m].astype(dt)
+            return axpby_finish(a, bcoef, ax, y)
+
+        def fn(x, y):
+            return _inner(bargs, dp.tail, x, y)
+
+        _FN_CACHE[key] = (fn, chosen)
+        return fn, chosen
+
     def step(x, y):
         return _run(chosen, alpha, beta, csr, x, y, plan)
 
@@ -268,7 +296,12 @@ def make_spmv_fn(
         jnp.zeros((csr.shape[1],), csr.values.dtype),
         jnp.zeros((csr.shape[0],), csr.values.dtype),
     )
-    fn = jax.jit(step)
+    # Closure-jit embeds the strategy's device arrays as HLO constants.  Fine at
+    # small scale (one fused program per iteration); past ~128MB the tunneled
+    # compiler rejects the request (HTTP 413, measured), so big matrices return
+    # the EAGER step — its inner jitted cores already take the arrays as args.
+    est_bytes = csr.nnz * (np.dtype(csr.values.dtype).itemsize + 4) * 2
+    fn = step if est_bytes > (128 << 20) else jax.jit(step)
     _FN_CACHE[key] = (fn, chosen)
     return fn, chosen
 

@@ -1267,6 +1267,9 @@ def swell_ax(bargs, tail, x, statics):
     """Pure A@x over the swell plan; safe to trace inside any outer jit/loop."""
     is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe = statics
     out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
+    # compensated-f32 cross-bucket accumulation (one final f64 pass); only valid
+    # when the final transpose degenerates to a reshape (r == 1, copies == 1)
+    fast64 = is64 and not interp and r == 1 and copies == 1
     if not bargs:
         y = jnp.zeros((rows,), out_dt)
     else:
@@ -1300,6 +1303,26 @@ def swell_ax(bargs, tail, x, statics):
                               ohs=ohs, pipe=pipe_b)
                 o = o.reshape(nout, r, 2, ROUT, 128)
                 hi, er = o[:, :, 0], o[:, :, 1]
+                if fast64:
+                    # accumulate across buckets as a compensated f32 (hi, err)
+                    # pair — emulated-f64 elementwise ops measured ~450us/pass
+                    # at Hardesty3's nout=502, per bucket; the f32 2Sum keeps
+                    # exactly the kernel's own error structure and defers the
+                    # single f64 combine to the end
+                    if not allout:
+                        mask = touched[:, None, None, None]
+                        hi = jnp.where(mask, hi, 0.0)
+                        er = jnp.where(mask, er, 0.0)
+                    if total is None:
+                        th, te = hi, er
+                    else:
+                        th, te = total
+                        ssum = th + hi
+                        bb = ssum - th
+                        err = (th - (ssum - bb)) + (hi - bb)
+                        th, te = ssum, te + er + err
+                    total = (th, te)
+                    continue
                 if allout:
                     # every out window written: skip the full-array masking
                     part = hi.astype(jnp.float64) + er.astype(jnp.float64)
@@ -1315,10 +1338,16 @@ def swell_ax(bargs, tail, x, statics):
                 o = o.reshape(nout, r, ROUT, 128)
                 part = o if allout else jnp.where(touched[:, None, None, None], o, 0.0)
             total = part if total is None else total + part
-        # (nout, r, ROUT, 128): sum output-row copies, then interleave the r
-        # block-row slices back (actual row = node*r + i)
-        total = total.reshape(nout, r, tile_rb, copies, 128).sum(axis=3)
-        y = total.transpose(0, 2, 3, 1).reshape(-1)[:rows].astype(out_dt)
+        if fast64:
+            th, te = total
+            # r == 1, copies == 1: the transpose is a pure reshape, so the only
+            # f64 pass is this one fused convert+add+slice
+            y = (th.astype(jnp.float64) + te.astype(jnp.float64)).reshape(-1)[:rows]
+        else:
+            # (nout, r, ROUT, 128): sum output-row copies, then interleave the r
+            # block-row slices back (actual row = node*r + i)
+            total = total.reshape(nout, r, tile_rb, copies, 128).sum(axis=3)
+            y = total.transpose(0, 2, 3, 1).reshape(-1)[:rows].astype(out_dt)
     trows, tci, tv = tail
     if trows.shape[0] > 0:
         # COO tail (spilled low-fill instances): f64 gather + segment_sum is exact
