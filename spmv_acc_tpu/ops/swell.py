@@ -974,7 +974,8 @@ _SWELL_CACHE: dict = {}
 # — here it is additionally persisted across processes.
 # v4 = v2 array layout + the depth-gated BSR detection policy (the decided r is
 # baked into a cached plan, so the policy version must be part of the key)
-_PLAN_CACHE_ABI = 4
+# v6 = recalibrated MIXED_NS policy constant (merged-vs-single choice flips)
+_PLAN_CACHE_ABI = 6
 
 
 def _plan_cache_path(rp, ci, v, shape, dtype):
@@ -1494,11 +1495,16 @@ def _swell_power_run(bargs, tail, x, y, alpha, beta, n, statics):
     """n chained SpMV steps on device.  The feedback multiplier depends on the
     result, so XLA cannot hoist the loop-invariant SpMV; it perturbs x by ~1e-30
     relatively, so magnitudes stay stable for any iteration count and the chain
-    works for rectangular matrices (x and A@x shapes differ)."""
+    works for rectangular matrices (x and A@x shapes differ).
+
+    The feedback consumes EVERY element of the f64 result but squares/reduces
+    in f32: an f64 mean is emulated elementwise arithmetic worth ~3.5us/iter at
+    15K rows (measured) — harness tax, not part of the SpMV contract."""
 
     def body(i, xx):
         ax = alpha * swell_ax(bargs, tail, xx, statics) + beta * y
-        return xx * (1.0 + jnp.mean(ax * ax) * 1e-30)
+        s = ax.astype(jnp.float32)
+        return xx * (1.0 + jnp.mean(s * s).astype(xx.dtype) * 1e-30)
 
     return jax.lax.fori_loop(0, n, body, x)
 

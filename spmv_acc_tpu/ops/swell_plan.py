@@ -781,7 +781,14 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
                     for b in (390.0, 456.0, 514.0, 524.0, 534.0, 544.0, 554.0, 564.0))
     LOAD_NS = 500.0 if rblk == 1 else 240.0 + 260.0 * rblk
     WB_NS = 400.0 if rblk == 1 else 150.0 + 250.0 * rblk
-    MIXED_NS = 350.0 * rblk
+    # Recalibrated 2026-08-17/18 (forced single-vs-merged A/B on Bump_2911 /
+    # Cube_Coup_dt6 / vas_stokes_2M, all non-BSR): single-chunk plans measured
+    # +24..33% end-to-end (rf 0.129->0.160, 0.156->0.208, 0.154->0.204).  The
+    # single-policy model tracked hardware within 1% (vas: 4902 modeled vs 4946
+    # measured) while merged underestimated by ~1.9ms; solving the vas run for
+    # the per-mixed-step cost gives ~1235ns (extra shallow-depth table builds +
+    # dual decode + dual buckets forgoing the pipelined table builds).
+    MIXED_NS = 1200.0 * rblk
     DUAL_NS = 60.0
 
     def step_base(k, cpos):
@@ -895,13 +902,18 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
                       sb_var, sb_step, sb_pos)
 
     force = os.environ.get("SPMV_TPU_FORCE_MERGE")  # "1"/"0" pins the policy (A/B tooling)
-    if force == "1":
+    if os.environ.get("SPMV_TPU_FORCE_COLLAPSE"):  # A/B tooling
+        _, state = run_config(False, collapse=True)
+    elif force == "1":
         _, state = run_config(True)
     elif force == "0":
         _, state = run_config(False)
     else:
         cost_m, state_m = run_config(True)
         cost_s, state_s = run_config(False)
+        if os.environ.get("SPMV_TPU_PLAN_DEBUG"):
+            print(f"[plan] cost merged={cost_m/1e3:.0f}us single={cost_s/1e3:.0f}us",
+                  flush=True)
         cost_b, state = ((cost_m, state_m) if cost_m < cost_s else (cost_s, state_s))
         if nslabs <= 8192 and not os.environ.get("SPMV_TPU_NO_ABSORB"):
             # tiny plans: a single collapsed bucket can beat per-depth buckets
