@@ -37,6 +37,7 @@ gathers + sequential-grid accumulation instead of atomics).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -303,7 +304,7 @@ def _expand_tile(t, D, P):
 
 
 def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int = 1,
-                     k: int = 1, pipe: bool = False):
+                     k: int = 1, pipe: bool = False, acc: int = 0):
     """r = 1: scalar CSR step.  r > 1: BSR micro-block step — each slot holds an
     r x r dense block (nv = r*r value planes sharing ONE set of indices/one-hots),
     x is pre-sliced into r interleaved sub-vectors (x_j = x[j::r]) whose chunk
@@ -315,7 +316,15 @@ def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
     produces r*k output tiles (tile t = c*r + i).  The packed values+index DMA
     (the dominant bytes of SpMV) is read ONCE for all k columns — this is the
     amortization the MXU SpMM exists for (SURVEY §7.0; the reference is
-    SpMV-only, BASELINE.json config 4 makes SpMM new scope)."""
+    SpMV-only, BASELINE.json config 4 makes SpMM new scope).
+
+    acc: cross-bucket accumulator chaining — mode 2 takes an extra input (same
+    block/index_map as the output, HBM-aliased to it via input_output_aliases)
+    that seeds the tile on the FIRST step of each out-window run, so buckets
+    accumulate in-kernel and the per-bucket XLA combine/mask passes over
+    (nout, ., 128) vanish.  Mode 1 aliases but IGNORES the input (constant block,
+    no per-window DMA): used for the first bucket of a chain, whose untouched
+    windows must keep the zeros init.  Mode 0 is a plain fresh-output call."""
     nv = r * r
     S = r * k
     P, boff, ohw, nval, _ = _packed_rows(log2d, False, wide, nv)
@@ -323,19 +332,12 @@ def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
 
     def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
                *rest):
-        if pipe:
-            if dual:
-                chunkb_ref, ohn_ref, o_ref = rest[0], rest[1], rest[2]
-                ts_refs = rest[3:]
-            else:
-                ohn_ref, o_ref = rest[0], rest[1]
-                ts_refs = rest[2:]
-        elif dual:
-            chunkb_ref, o_ref = rest[0], rest[1]
-            ts_refs = rest[2:]
-        else:
-            o_ref = rest[0]
-            ts_refs = None
+        rest = list(rest)
+        chunkb_ref = rest.pop(0) if dual else None
+        ohn_ref = rest.pop(0) if pipe else None
+        acc_ref = rest.pop(0) if acc else None
+        o_ref = rest.pop(0)
+        ts_refs = rest if (dual or pipe) else None
         s = pl.program_id(0)
         buf = packed_ref[0]
         vals = [jax.lax.bitcast_convert_type(buf[p * 128 : (p + 1) * 128], jnp.float32)
@@ -402,7 +404,8 @@ def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
         @pl.when(first == 1)
         def _():
             for t in range(r * k):
-                o_ref[0, t * ROUT : (t + 1) * ROUT] = contribs[t]
+                seed = acc_ref[0, t * ROUT : (t + 1) * ROUT] if acc == 2 else 0.0
+                o_ref[0, t * ROUT : (t + 1) * ROUT] = seed + contribs[t]
 
         @pl.when(first == 0)
         def _():
@@ -422,7 +425,7 @@ def _split(a):
 
 
 def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int = 1,
-                     k: int = 1, pipe: bool = False):
+                     k: int = 1, pipe: bool = False, acc: int = 0):
     """Compensated two-f32 kernel; r > 1 is the BSR micro-block variant, k > 1 the
     multi-RHS SpMM variant (see _make_f32_kernel).  Output tile layout per tile
     t = c*r + i: hi rows [t*2*ROUT, t*2*ROUT+ROUT), err rows
@@ -442,19 +445,12 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
 
     def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
                *rest):
-        if pipe:
-            if dual:
-                chunkb_ref, ohn_ref, o_ref = rest[0], rest[1], rest[2]
-                ts_refs = rest[3:]
-            else:
-                ohn_ref, o_ref = rest[0], rest[1]
-                ts_refs = rest[2:]
-        elif dual:
-            chunkb_ref, o_ref = rest[0], rest[1]
-            ts_refs = rest[2:]
-        else:
-            o_ref = rest[0]
-            ts_refs = None
+        rest = list(rest)
+        chunkb_ref = rest.pop(0) if dual else None
+        ohn_ref = rest.pop(0) if pipe else None
+        acc_ref = rest.pop(0) if acc else None
+        o_ref = rest.pop(0)
+        ts_refs = rest if (dual or pipe) else None
         s = pl.program_id(0)
         buf = packed_ref[0]
         vh = [jax.lax.bitcast_convert_type(buf[p * 128 : (p + 1) * 128], jnp.float32)
@@ -567,8 +563,20 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
         @pl.when(first == 1)
         def _():
             for i in range(r * k):
-                o_ref[0, i * 2 * ROUT : i * 2 * ROUT + ROUT] = phs[i]
-                o_ref[0, i * 2 * ROUT + ROUT : (i + 1) * 2 * ROUT] = pes[i]
+                hi_sl = slice(i * 2 * ROUT, i * 2 * ROUT + ROUT)
+                er_sl = slice(i * 2 * ROUT + ROUT, (i + 1) * 2 * ROUT)
+                if acc == 2:
+                    # seed from the running cross-bucket accumulator (Knuth
+                    # 2Sum — exact when the seed is the zeros init too)
+                    cur = acc_ref[0, hi_sl]
+                    ssum = cur + phs[i]
+                    bb = ssum - cur
+                    err = (cur - (ssum - bb)) + (phs[i] - bb)
+                    o_ref[0, hi_sl] = ssum
+                    o_ref[0, er_sl] = acc_ref[0, er_sl] + pes[i] + err
+                else:
+                    o_ref[0, hi_sl] = phs[i]
+                    o_ref[0, er_sl] = pes[i]
 
         @pl.when(first == 0)
         def _():
@@ -698,15 +706,25 @@ def _ts_rows(log2d: int, wide: bool) -> int:
     return -(-nrows // 8) * 8
 
 
+def _acc_spec(width, mode):
+    """BlockSpec for the chained-accumulator input: mode 2 follows the out
+    window (per-window seed DMA); mode 1 pins block 0 (fetched once, ignored —
+    the alias alone keeps untouched HBM windows intact)."""
+    if mode == 2:
+        return pl.BlockSpec((1, width, 128),
+                            lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z))
+    return pl.BlockSpec((1, width, 128), lambda s, *_: (_Z, _Z, _Z))
+
+
 def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
               interpret, dual=True, classpos=False, r=1, k=1,
-              ohs=None, pipe=False):
+              ohs=None, pipe=False, acc=None, acc_mode=0):
     nsteps = packed.shape[0]
     if pipe:
         # csel/cselb/hasb must be the PIPE-shifted selector set here
         return _call_piped(csel, cselb, hasb, osel, first, packed, ohs, chunks,
                            log2d, wide, nout, interpret, dual, classpos,
-                           is64=False)
+                           is64=False, acc=acc, acc_mode=acc_mode)
     in_specs = [
         pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
         pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
@@ -714,6 +732,10 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
     if dual:
         in_specs.append(pl.BlockSpec((1, chunks.shape[1], 128),
                                      lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)))
+    io_alias = {}
+    if acc_mode:
+        in_specs.append(_acc_spec(r * k * ROUT, acc_mode))
+        io_alias = {5 + len(in_specs) - 1: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nsteps,),
@@ -724,17 +746,20 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
                         for _ in range(r * k)]
         if dual else [],
     )
-    args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ())
+    args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ()) \
+        + ((acc,) if acc_mode else ())
     return pl.pallas_call(
-        _make_f32_kernel(log2d, wide, dual, classpos, r, k),
+        _make_f32_kernel(log2d, wide, dual, classpos, r, k, acc=acc_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, r * k * ROUT, 128), jnp.float32),
         interpret=interpret,
+        input_output_aliases=io_alias,
     )(*args)
 
 
 def _call_piped(csel_p, cselb_p, hasb_p, osel, first, packed, ohs, chunks,
-                log2d, wide, nout, interpret, dual, classpos, is64):
+                log2d, wide, nout, interpret, dual, classpos, is64, acc=None,
+                acc_mode=0):
     """Software-pipelined call (r=1, k=1 only): PIPE-shifted chunk selectors, a
     one-step-ahead one-hot stream (ohn) and per-set VMEM table scratch.  The
     arrays carry the per-bucket dummy first step (see _DeviceSwellPlan)."""
@@ -750,6 +775,10 @@ def _call_piped(csel_p, cselb_p, hasb_p, osel, first, packed, ohs, chunks,
     in_specs.append(pl.BlockSpec(
         (1, ohs.shape[1], 128),
         lambda s, *_: (jnp.minimum(s + 1, nsteps - 1), _Z, _Z)))
+    io_alias = {}
+    if acc_mode:
+        in_specs.append(_acc_spec((2 if is64 else 1) * ROUT, acc_mode))
+        io_alias = {5 + len(in_specs) - 1: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nsteps,),
@@ -762,44 +791,61 @@ def _call_piped(csel_p, cselb_p, hasb_p, osel, first, packed, ohs, chunks,
     )
     make = _make_f64_kernel if is64 else _make_f32_kernel
     args = ((csel_p, cselb_p, hasb_p, osel, first, packed, chunks)
-            + ((chunks,) if dual else ()) + (ohs,))
+            + ((chunks,) if dual else ()) + (ohs,)
+            + ((acc,) if acc_mode else ()))
     return pl.pallas_call(
-        make(log2d, wide, dual, classpos, 1, 1, pipe=True),
+        make(log2d, wide, dual, classpos, 1, 1, pipe=True, acc=acc_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, (2 if is64 else 1) * ROUT, 128),
                                        jnp.float32),
         interpret=interpret,
+        input_output_aliases=io_alias,
     )(*args)
 
 
 def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
               interpret, dual=True, classpos=False, r=1, k=1,
-              ohs=None, pipe=False):
+              ohs=None, pipe=False, acc=None, acc_mode=0):
     nsteps = packed.shape[0]
     if pipe:
         # csel/cselb/hasb must be the PIPE-shifted selector set here
         return _call_piped(csel, cselb, hasb, osel, first, packed, ohs, chunks,
                            log2d, wide, nout, interpret, dual, classpos,
-                           is64=True)
+                           is64=True, acc=acc, acc_mode=acc_mode)
     if not dual:
         # exact legacy 3-scalar call for single-chunk buckets (A/B: isolate scalar count)
+        in_specs = [
+            pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
+            pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+        ]
+        io_alias = {}
+        if acc_mode:
+            if acc_mode == 2:
+                in_specs.append(pl.BlockSpec(
+                    (1, 2 * r * k * ROUT, 128),
+                    lambda s, csel, osel, *_: (osel[s], _Z, _Z)))
+            else:
+                in_specs.append(pl.BlockSpec(
+                    (1, 2 * r * k * ROUT, 128), lambda s, *_: (_Z, _Z, _Z)))
+            io_alias = {3 + len(in_specs) - 1: 0}
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nsteps,),
-            in_specs=[
-                pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
-                pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 2 * r * k * ROUT, 128), lambda s, csel, osel, *_: (osel[s], _Z, _Z)),
         )
-        def k3(csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref):
-            return _make_f64_kernel(log2d, wide, False, classpos, r, k)(
-                csel_r, csel_r, csel_r, osel_r, first_r, packed_ref, chunk_ref, o_ref)
+        def k3(csel_r, osel_r, first_r, packed_ref, chunk_ref, *rest):
+            return _make_f64_kernel(log2d, wide, False, classpos, r, k,
+                                    acc=acc_mode)(
+                csel_r, csel_r, csel_r, osel_r, first_r, packed_ref, chunk_ref,
+                *rest)
         return pl.pallas_call(
             k3, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nout, 2 * r * k * ROUT, 128), jnp.float32),
             interpret=interpret,
-        )(csel, osel, first, packed, chunks)
+            input_output_aliases=io_alias,
+        )(csel, osel, first, packed, chunks,
+          *((acc,) if acc_mode else ()))
     in_specs = [
         pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
         pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
@@ -807,6 +853,10 @@ def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
     if dual:
         in_specs.append(pl.BlockSpec((1, chunks.shape[1], 128),
                                      lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)))
+    io_alias = {}
+    if acc_mode:
+        in_specs.append(_acc_spec(2 * r * k * ROUT, acc_mode))
+        io_alias = {5 + len(in_specs) - 1: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nsteps,),
@@ -818,12 +868,14 @@ def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
                         for _ in range(2 * r * k)]
         if dual else [],
     )
-    args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ())
+    args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ()) \
+        + ((acc,) if acc_mode else ())
     return pl.pallas_call(
-        _make_f64_kernel(log2d, wide, dual, classpos, r, k),
+        _make_f64_kernel(log2d, wide, dual, classpos, r, k, acc=acc_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, 2 * r * k * ROUT, 128), jnp.float32),
         interpret=interpret,
+        input_output_aliases=io_alias,
     )(*args)
 
 
@@ -1268,87 +1320,73 @@ def swell_ax(bargs, tail, x, statics):
     """Pure A@x over the swell plan; safe to trace inside any outer jit/loop."""
     is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe = statics
     out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
-    # compensated-f32 cross-bucket accumulation (one final f64 pass); only valid
-    # when the final transpose degenerates to a reshape (r == 1, copies == 1)
-    fast64 = is64 and not interp and r == 1 and copies == 1
     if not bargs:
         y = jnp.zeros((rows,), out_dt)
-    else:
+    elif interp:
         chunks = _prep_x_pure(x, nchunks, is64, native=interp, delta=delta, r=r)
         total = None
         for ba, (log2d, wide, dual, classpos, allout) in zip(bargs, log2ds):
+            csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
+            o = _call_native_interp_r(csel, cselb, hasb, osel, first, vals,
+                                      lidx, oh, rbvec, chunks[0], log2d, wide,
+                                      nout, r)
+            o = o.reshape(nout, r, ROUT, 128)
+            part = o if is64 else o.astype(jnp.float32)
+            total = part if total is None else total + part
+        # (nout, r, ROUT, 128): sum output-row copies, then interleave the r
+        # block-row slices back (actual row = node*r + i)
+        total = total.reshape(nout, r, tile_rb, copies, 128).sum(axis=3)
+        y = total.transpose(0, 2, 3, 1).reshape(-1)[:rows].astype(out_dt)
+    else:
+        chunks = _prep_x_pure(x, nchunks, is64, native=False, delta=delta, r=r)
+        # cross-bucket accumulation lives IN-KERNEL: each bucket's pallas_call
+        # HBM-aliases the running accumulator into its output and 2Sum-seeds
+        # each out-window's first step from it, so the per-bucket XLA
+        # combine/mask passes over (nout, ., 128) vanish.  Bucket order: an
+        # ALLOUT bucket goes first — its plain (mode-0) output already covers
+        # every window, so the chain needs neither a zeros init nor the first
+        # bucket's per-window seed reads (8KB seed blocks ride the slow
+        # small-block DMA path, ~measured 600us overhead on Hardesty3 when
+        # every bucket seeded).
+        order = sorted(range(len(bargs)), key=lambda i: not log2ds[i][4])
+        acc = None
+        if not log2ds[order[0]][4]:
+            # no allout bucket: untouched windows must read as zeros
+            acc = jnp.zeros((nout, (2 if is64 else 1) * r * ROUT, 128),
+                            jnp.float32)
+        for j, i in enumerate(order):
+            ba = bargs[i]
+            log2d, wide, dual, classpos, allout = log2ds[i]
+            mode = 2 if j > 0 else (1 if acc is not None else 0)
             ohs = None
             # dual buckets keep the unpiped path: their 3-branch pl.when build
             # pays Mosaic's matmul-predication tax twice when pipelined
             # (measured +5.5% on dual-heavy Bump_2911 vs -4% on boneS10).
             # Tiny buckets skip it too (the dummy step doubles a 1-step bucket).
             pipe_b = pipe and not dual and ba[-2].shape[0] >= 9
-            if not interp and len(ba) == 11:
+            if len(ba) == 11:
                 # pick the PIPE-shifted or nonpipe selector set (same big arrays)
                 (csel_p, cselb_p, hasb_p, csel_n, cselb_n, hasb_n, osel, first,
                  ohs, packed, touched) = ba
                 csel, cselb, hasb = ((csel_p, cselb_p, hasb_p) if pipe_b
                                      else (csel_n, cselb_n, hasb_n))
-            elif not interp:
-                csel, cselb, hasb, osel, first, packed, touched = ba
-            if interp:
-                csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
-                o = _call_native_interp_r(csel, cselb, hasb, osel, first, vals,
-                                          lidx, oh, rbvec, chunks[0], log2d, wide,
-                                          nout, r)
-                o = o.reshape(nout, r, ROUT, 128)
-                part = o if is64 else o.astype(jnp.float32)
-            elif is64:
-                o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False, dual, classpos, r,
-                              ohs=ohs, pipe=pipe_b)
-                o = o.reshape(nout, r, 2, ROUT, 128)
-                hi, er = o[:, :, 0], o[:, :, 1]
-                if fast64:
-                    # accumulate across buckets as a compensated f32 (hi, err)
-                    # pair — emulated-f64 elementwise ops measured ~450us/pass
-                    # at Hardesty3's nout=502, per bucket; the f32 2Sum keeps
-                    # exactly the kernel's own error structure and defers the
-                    # single f64 combine to the end
-                    if not allout:
-                        mask = touched[:, None, None, None]
-                        hi = jnp.where(mask, hi, 0.0)
-                        er = jnp.where(mask, er, 0.0)
-                    if total is None:
-                        th, te = hi, er
-                    else:
-                        th, te = total
-                        ssum = th + hi
-                        bb = ssum - th
-                        err = (th - (ssum - bb)) + (hi - bb)
-                        th, te = ssum, te + er + err
-                    total = (th, te)
-                    continue
-                if allout:
-                    # every out window written: skip the full-array masking
-                    part = hi.astype(jnp.float64) + er.astype(jnp.float64)
-                else:
-                    mask = touched[:, None, None, None]
-                    part = jnp.where(mask, hi, 0.0).astype(jnp.float64) + jnp.where(
-                        mask, er, 0.0
-                    ).astype(jnp.float64)
             else:
-                o = _call_f32(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False, dual, classpos, r,
-                              ohs=ohs, pipe=pipe_b)
-                o = o.reshape(nout, r, ROUT, 128)
-                part = o if allout else jnp.where(touched[:, None, None, None], o, 0.0)
-            total = part if total is None else total + part
-        if fast64:
-            th, te = total
-            # r == 1, copies == 1: the transpose is a pure reshape, so the only
-            # f64 pass is this one fused convert+add+slice
-            y = (th.astype(jnp.float64) + te.astype(jnp.float64)).reshape(-1)[:rows]
+                csel, cselb, hasb, osel, first, packed, touched = ba
+            call = _call_f64 if is64 else _call_f32
+            acc = call(csel, cselb, hasb, osel, first, packed, chunks,
+                       log2d, wide, nout, False, dual, classpos, r,
+                       ohs=ohs, pipe=pipe_b, acc=acc, acc_mode=mode)
+        if is64:
+            o = acc.reshape(nout, r, 2, ROUT, 128)
+            y64 = o[:, :, 0].astype(jnp.float64) + o[:, :, 1].astype(jnp.float64)
         else:
-            # (nout, r, ROUT, 128): sum output-row copies, then interleave the r
-            # block-row slices back (actual row = node*r + i)
-            total = total.reshape(nout, r, tile_rb, copies, 128).sum(axis=3)
-            y = total.transpose(0, 2, 3, 1).reshape(-1)[:rows].astype(out_dt)
+            y64 = acc.reshape(nout, r, ROUT, 128)
+        if r == 1 and copies == 1:
+            # the transpose degenerates: one fused convert+add+slice pass
+            y = y64.reshape(-1)[:rows].astype(out_dt)
+        else:
+            t = y64.reshape(nout, r, tile_rb, copies, 128).sum(axis=3)
+            y = t.transpose(0, 2, 3, 1).reshape(-1)[:rows].astype(out_dt)
     trows, tci, tv = tail
     if trows.shape[0] > 0:
         # COO tail (spilled low-fill instances): f64 gather + segment_sum is exact
