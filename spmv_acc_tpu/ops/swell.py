@@ -92,7 +92,7 @@ def _dot1(a, b):
     )
 
 
-def _tables_dual(oh, pa_sets, pb_sets, has_b, ts_refs, P, D, wide):
+def _tables_dual(oh, pa_sets, pb_sets, has_b, ts_refs, P, D, wide, dboth=False):
     """Build per-sublane x-table pairs (aligned rows A = window base w, B = w+1)
     from the CHUNK-PAIR one-hot and bf16-split chunk planes.
 
@@ -140,6 +140,22 @@ def _tables_dual(oh, pa_sets, pb_sets, has_b, ts_refs, P, D, wide):
             for ts in (build(ohx, ps) for ps in pa_sets)
         ]
 
+    if dboth:
+        # mixed-heavy bucket: build BOTH sides unconditionally.  The absent
+        # side's one-hot bits are zero, so its matmuls contribute exact zeros —
+        # bit-identical to the branched build — and dropping the 3-way pl.when
+        # removes Mosaic's matmul-predication tax (+170..370ns/step) from EVERY
+        # step, at the cost of the extra side's matmuls on pure steps.  Chosen
+        # per bucket at trace time when the dual fraction crosses
+        # SPMV_TPU_DBOTH_FRAC (compile-time specialization, no scratch needed).
+        oha = (ohr & 1).astype(jnp.bfloat16)
+        ohb = (ohr >> 1).astype(jnp.bfloat16)
+        return [
+            (expand(ts[:P]), expand(ts[boff : boff + P]) if wide else None)
+            for ts in (build(oha, pa) + build(ohb, pb)
+                       for pa, pb in zip(pa_sets, pb_sets))
+        ]
+
     @pl.when(has_b == 0)
     def _():
         ohx = ohr.astype(jnp.bfloat16)
@@ -166,7 +182,7 @@ def _tables_dual(oh, pa_sets, pb_sets, has_b, ts_refs, P, D, wide):
     ]
 
 
-def _build_tables_refs(oh, pa_sets, pb_sets, has_b, ts_refs, nrows):
+def _build_tables_refs(oh, pa_sets, pb_sets, has_b, ts_refs, nrows, dboth=False):
     """Write one step's table sets into ts_refs (no read-back) — the write half
     of _tables_dual, used by the software-pipelined kernels to build step s+1's
     tables while step s's VPU chain runs (measured: Mosaic overlaps the
@@ -183,6 +199,15 @@ def _build_tables_refs(oh, pa_sets, pb_sets, has_b, ts_refs, nrows):
         ohx = ohr.astype(jnp.bfloat16)
         for ref, ps in zip(ts_refs, pa_sets):
             ref[:nrows] = build(ohx, ps)
+        return
+
+    if dboth:
+        # unconditional both-sides build (see _tables_dual): no predication,
+        # which also makes dual buckets software-pipelineable
+        oha = (ohr & 1).astype(jnp.bfloat16)
+        ohb = (ohr >> 1).astype(jnp.bfloat16)
+        for ref, pa, pb in zip(ts_refs, pa_sets, pb_sets):
+            ref[:nrows] = build(oha, pa) + build(ohb, pb)
         return
 
     @pl.when(has_b == 0)
@@ -304,7 +329,8 @@ def _expand_tile(t, D, P):
 
 
 def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int = 1,
-                     k: int = 1, pipe: bool = False, acc: int = 0):
+                     k: int = 1, pipe: bool = False, acc: int = 0,
+                     dboth: bool = False):
     """r = 1: scalar CSR step.  r > 1: BSR micro-block step — each slot holds an
     r x r dense block (nv = r*r value planes sharing ONE set of indices/one-hots),
     x is pre-sliced into r interleaved sub-vectors (x_j = x[j::r]) whose chunk
@@ -370,9 +396,11 @@ def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
             # hasb_r is the build branch.  The pair loads above are already
             # issued, so the ref stores here cannot clobber this step's tables.
             ohn = _unpack_bytes(ohn_ref[0], 4 * ohw)
-            _build_tables_refs(ohn, pa_sets, pb_sets, hasb_r[s], ts_refs, nrows_t)
+            _build_tables_refs(ohn, pa_sets, pb_sets, hasb_r[s], ts_refs, nrows_t,
+                               dboth)
         else:
-            pairs = _tables_dual(oh, pa_sets, pb_sets, hasb_r[s], ts_refs, P, D, wide)
+            pairs = _tables_dual(oh, pa_sets, pb_sets, hasb_r[s], ts_refs, P, D, wide,
+                                 dboth)
         gs = []
         for j in range(S):
             ta, tb = pairs[j]
@@ -425,7 +453,8 @@ def _split(a):
 
 
 def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int = 1,
-                     k: int = 1, pipe: bool = False, acc: int = 0):
+                     k: int = 1, pipe: bool = False, acc: int = 0,
+                     dboth: bool = False):
     """Compensated two-f32 kernel; r > 1 is the BSR micro-block variant, k > 1 the
     multi-RHS SpMM variant (see _make_f32_kernel).  Output tile layout per tile
     t = c*r + i: hi rows [t*2*ROUT, t*2*ROUT+ROUT), err rows
@@ -492,9 +521,11 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
             # hasb_r is the build branch.  The pair loads above are already
             # issued, so the ref stores here cannot clobber this step's tables.
             ohn = _unpack_bytes(ohn_ref[0], 4 * ohw)
-            _build_tables_refs(ohn, pa_all, pb_all, hasb_r[s], ts_refs, nrows_t)
+            _build_tables_refs(ohn, pa_all, pb_all, hasb_r[s], ts_refs, nrows_t,
+                               dboth)
         else:
-            pairs = _tables_dual(oh, pa_all, pb_all, hasb_r[s], ts_refs, P, D, wide)
+            pairs = _tables_dual(oh, pa_all, pb_all, hasb_r[s], ts_refs, P, D, wide,
+                                  dboth)
         phs: list = [None] * (r * k)
         pes: list = [None] * (r * k)
         for c in range(k):
@@ -718,13 +749,13 @@ def _acc_spec(width, mode):
 
 def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
               interpret, dual=True, classpos=False, r=1, k=1,
-              ohs=None, pipe=False, acc=None, acc_mode=0):
+              ohs=None, pipe=False, acc=None, acc_mode=0, dboth=False):
     nsteps = packed.shape[0]
     if pipe:
         # csel/cselb/hasb must be the PIPE-shifted selector set here
         return _call_piped(csel, cselb, hasb, osel, first, packed, ohs, chunks,
                            log2d, wide, nout, interpret, dual, classpos,
-                           is64=False, acc=acc, acc_mode=acc_mode)
+                           is64=False, acc=acc, acc_mode=acc_mode, dboth=dboth)
     in_specs = [
         pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
         pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
@@ -744,12 +775,13 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
                                lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
         scratch_shapes=[pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32)
                         for _ in range(r * k)]
-        if dual else [],
+        if (dual and not dboth) else [],
     )
     args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ()) \
         + ((acc,) if acc_mode else ())
     return pl.pallas_call(
-        _make_f32_kernel(log2d, wide, dual, classpos, r, k, acc=acc_mode),
+        _make_f32_kernel(log2d, wide, dual, classpos, r, k, acc=acc_mode,
+                         dboth=dboth),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, r * k * ROUT, 128), jnp.float32),
         interpret=interpret,
@@ -759,7 +791,7 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
 
 def _call_piped(csel_p, cselb_p, hasb_p, osel, first, packed, ohs, chunks,
                 log2d, wide, nout, interpret, dual, classpos, is64, acc=None,
-                acc_mode=0):
+                acc_mode=0, dboth=False):
     """Software-pipelined call (r=1, k=1 only): PIPE-shifted chunk selectors, a
     one-step-ahead one-hot stream (ohn) and per-set VMEM table scratch.  The
     arrays carry the per-bucket dummy first step (see _DeviceSwellPlan)."""
@@ -794,7 +826,8 @@ def _call_piped(csel_p, cselb_p, hasb_p, osel, first, packed, ohs, chunks,
             + ((chunks,) if dual else ()) + (ohs,)
             + ((acc,) if acc_mode else ()))
     return pl.pallas_call(
-        make(log2d, wide, dual, classpos, 1, 1, pipe=True, acc=acc_mode),
+        make(log2d, wide, dual, classpos, 1, 1, pipe=True, acc=acc_mode,
+             dboth=dboth),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, (2 if is64 else 1) * ROUT, 128),
                                        jnp.float32),
@@ -805,13 +838,13 @@ def _call_piped(csel_p, cselb_p, hasb_p, osel, first, packed, ohs, chunks,
 
 def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
               interpret, dual=True, classpos=False, r=1, k=1,
-              ohs=None, pipe=False, acc=None, acc_mode=0):
+              ohs=None, pipe=False, acc=None, acc_mode=0, dboth=False):
     nsteps = packed.shape[0]
     if pipe:
         # csel/cselb/hasb must be the PIPE-shifted selector set here
         return _call_piped(csel, cselb, hasb, osel, first, packed, ohs, chunks,
                            log2d, wide, nout, interpret, dual, classpos,
-                           is64=True, acc=acc, acc_mode=acc_mode)
+                           is64=True, acc=acc, acc_mode=acc_mode, dboth=dboth)
     if not dual:
         # exact legacy 3-scalar call for single-chunk buckets (A/B: isolate scalar count)
         in_specs = [
@@ -866,12 +899,13 @@ def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
                                lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
         scratch_shapes=[pltpu.VMEM((_ts_rows(log2d, wide), 128), jnp.float32)
                         for _ in range(2 * r * k)]
-        if dual else [],
+        if (dual and not dboth) else [],
     )
     args = (csel, cselb, hasb, osel, first, packed, chunks) + ((chunks,) if dual else ()) \
         + ((acc,) if acc_mode else ())
     return pl.pallas_call(
-        _make_f64_kernel(log2d, wide, dual, classpos, r, k, acc=acc_mode),
+        _make_f64_kernel(log2d, wide, dual, classpos, r, k, acc=acc_mode,
+                         dboth=dboth),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, 2 * r * k * ROUT, 128), jnp.float32),
         interpret=interpret,
@@ -905,6 +939,10 @@ class _DeviceSwellPlan:
             b = dict(
                 log2d=nb["log2d"], wide=nb["wide"], dual=nb["dual"],
                 classpos=nb["classpos"], allout=nb["allout"],
+                # mixed-step fraction: drives the unconditional both-sides
+                # table build (dboth) trace-time specialization
+                dfrac=float((np.asarray(nb["hasb"]) != 0).mean())
+                if len(nb["hasb"]) else 0.0,
                 packed=jnp.asarray(nb["packed"]),
                 csel=jnp.asarray(nb["csel"]),
                 cselb=jnp.asarray(nb["cselb"]),
@@ -1220,6 +1258,11 @@ def _statics(dp: _DeviceSwellPlan, interp: bool):
 
     p = dp.plan
     pipe = dp.r == 1 and not os.environ.get("SPMV_TPU_NO_PIPE")
+    # per-bucket unconditional both-sides table build: pays the absent side's
+    # matmuls on pure steps but removes the pl.when predication tax everywhere
+    # and re-enables software pipelining for dual buckets — wins when the
+    # bucket is mixed-heavy.  Threshold A/B-tunable (2.0 disables, 0 forces).
+    dbf = float(os.environ.get("SPMV_TPU_DBOTH_FRAC", "0.34"))
     return (
         bool(dp.dtype == np.float64), bool(interp), p.nout, p.nchunks,
         p.copies, p.tile_rb, dp.out_rows, p.delta,
@@ -1227,6 +1270,8 @@ def _statics(dp: _DeviceSwellPlan, interp: bool):
               for b in dp.buckets),
         dp.r,
         pipe,
+        tuple(bool(b["dual"]) and b.get("dfrac", 0.0) >= dbf
+              for b in dp.buckets),
     )
 
 
@@ -1318,7 +1363,8 @@ def _prep_x_pure(x, nchunks, is64, native, delta=0, r=1, k=1):
 
 def swell_ax(bargs, tail, x, statics):
     """Pure A@x over the swell plan; safe to trace inside any outer jit/loop."""
-    is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe = statics
+    (is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe,
+     dboths) = statics
     out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
     if not bargs:
         y = jnp.zeros((rows,), out_dt)
@@ -1357,13 +1403,15 @@ def swell_ax(bargs, tail, x, statics):
         for j, i in enumerate(order):
             ba = bargs[i]
             log2d, wide, dual, classpos, allout = log2ds[i]
+            dboth = dboths[i]
             mode = 2 if j > 0 else (1 if acc is not None else 0)
             ohs = None
-            # dual buckets keep the unpiped path: their 3-branch pl.when build
-            # pays Mosaic's matmul-predication tax twice when pipelined
-            # (measured +5.5% on dual-heavy Bump_2911 vs -4% on boneS10).
+            # branched-build dual buckets keep the unpiped path: their 3-way
+            # pl.when build pays Mosaic's matmul-predication tax twice when
+            # pipelined (measured +5.5% on dual-heavy Bump_2911 vs -4% on
+            # boneS10).  dboth buckets build unconditionally, so they pipe.
             # Tiny buckets skip it too (the dummy step doubles a 1-step bucket).
-            pipe_b = pipe and not dual and ba[-2].shape[0] >= 9
+            pipe_b = pipe and (not dual or dboth) and ba[-2].shape[0] >= 9
             if len(ba) == 11:
                 # pick the PIPE-shifted or nonpipe selector set (same big arrays)
                 (csel_p, cselb_p, hasb_p, csel_n, cselb_n, hasb_n, osel, first,
@@ -1375,7 +1423,8 @@ def swell_ax(bargs, tail, x, statics):
             call = _call_f64 if is64 else _call_f32
             acc = call(csel, cselb, hasb, osel, first, packed, chunks,
                        log2d, wide, nout, False, dual, classpos, r,
-                       ohs=ohs, pipe=pipe_b, acc=acc, acc_mode=mode)
+                       ohs=ohs, pipe=pipe_b, acc=acc, acc_mode=mode,
+                       dboth=dboth)
         if is64:
             o = acc.reshape(nout, r, 2, ROUT, 128)
             y64 = o[:, :, 0].astype(jnp.float64) + o[:, :, 1].astype(jnp.float64)
@@ -1404,14 +1453,16 @@ def swell_amx(bargs, tail, X, statics, k):
     columns (k table builds / gathers / folds off the same one-hot and lidx),
     so the dominant DMA bytes of SpMV amortize k-fold.  Layout mirrors
     ``swell_ax`` with an extra leading k axis on the output tiles."""
-    is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe = statics
+    (is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe,
+     dboths) = statics
     out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
     if not bargs:
         y = jnp.zeros((rows, k), out_dt)
     else:
         chunks = _prep_x_pure(X, nchunks, is64, native=interp, delta=delta, r=r, k=k)
         total = None
-        for ba, (log2d, wide, dual, classpos, allout) in zip(bargs, log2ds):
+        for ba, (log2d, wide, dual, classpos, allout), dboth in zip(
+                bargs, log2ds, dboths):
             if not interp and len(ba) == 11:  # k>1 kernels use the NONPIPE set
                 (_cp, _cbp, _hbp, csel, cselb, hasb, osel, first,
                  _ohs, packed, touched) = ba
@@ -1426,7 +1477,8 @@ def swell_amx(bargs, tail, X, statics, k):
                 part = o if is64 else o.astype(jnp.float32)
             elif is64:
                 o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False, dual, classpos, r, k)
+                              log2d, wide, nout, False, dual, classpos, r, k,
+                              dboth=dboth)
                 o = o.reshape(nout, k, r, 2, ROUT, 128)
                 hi, er = o[:, :, :, 0], o[:, :, :, 1]
                 if allout:
@@ -1438,7 +1490,8 @@ def swell_amx(bargs, tail, X, statics, k):
                     ).astype(jnp.float64)
             else:
                 o = _call_f32(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False, dual, classpos, r, k)
+                              log2d, wide, nout, False, dual, classpos, r, k,
+                              dboth=dboth)
                 o = o.reshape(nout, k, r, ROUT, 128)
                 part = o if allout else jnp.where(touched[:, None, None, None, None], o, 0.0)
             total = part if total is None else total + part
