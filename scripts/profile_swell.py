@@ -45,15 +45,19 @@ def main():
           flush=True)
 
     pipe = st[10]
+    dboths = st[11]
     for bi, (ba, (l2d, wide, dual, cpos, allout)) in enumerate(zip(bargs, log2ds)):
         hasb = ba[2]
         nsteps = ba[-2].shape[0]
         ndual = int((np.asarray(hasb) != 0).sum())
+        dboth = dboths[bi]
 
         @functools.partial(jax.jit, static_argnames=())
-        def loop(ba, chunks, pert, n, l2d=l2d, wide=wide, dual=dual, cpos=cpos):
+        def loop(ba, chunks, pert, n, l2d=l2d, wide=wide, dual=dual, cpos=cpos,
+                 dboth=dboth):
             ohs = None
-            use_pipe = pipe and len(ba) == 11
+            # mirror swell_ax's production gate
+            use_pipe = pipe and (not dual or dboth) and len(ba) == 11
             if len(ba) == 11:
                 (cp, cbp, hbp, cn, cbn, hbn, osel, first, ohs, packed, touched) = ba
                 csel, cselb, hasb = (cp, cbp, hbp) if use_pipe else (cn, cbn, hbn)
@@ -66,7 +70,7 @@ def main():
                     axis=1)
                 o = _call_f64(csel, cselb, hasb, osel, first, packed, ch, l2d, wide,
                               nout, False, dual, cpos,
-                              ohs=ohs, pipe=use_pipe)
+                              ohs=ohs, pipe=use_pipe, dboth=dboth)
                 return c + o[0, 0, 0] * 1e-30
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
@@ -83,7 +87,8 @@ def main():
         hi = min(once(129) for _ in range(2))
         per = (hi - lo) / 96
         print(f"bucket {bi}: D={1 << l2d:3d} wide={int(wide)} steps={nsteps:5d}  "
-              f"{per*1e6:7.1f}us/iter  {per/nsteps*1e9:6.0f}ns/step  dual={ndual} cpos={int(cpos)}", flush=True)
+              f"{per*1e6:7.1f}us/iter  {per/nsteps*1e9:6.0f}ns/step  dual={ndual} "
+              f"cpos={int(cpos)} dboth={int(dboth)}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1065,7 +1065,9 @@ _SWELL_CACHE: dict = {}
 # v4 = v2 array layout + the depth-gated BSR detection policy (the decided r is
 # baked into a cached plan, so the policy version must be part of the key)
 # v6 = recalibrated MIXED_NS policy constant (merged-vs-single choice flips)
-_PLAN_CACHE_ABI = 6
+# v7 = dboth-aware policy scoring (unconditional both-sides build collapses the
+#      mixed tax -> merged policy wins nearly everywhere; measured A/B sweep)
+_PLAN_CACHE_ABI = 7
 
 
 def _plan_cache_path(rp, ci, v, shape, dtype):

@@ -790,6 +790,13 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
     # dual decode + dual buckets forgoing the pipelined table builds).
     MIXED_NS = 1200.0 * rblk
     DUAL_NS = 60.0
+    # dboth era (2026-08-18): buckets whose mixed fraction crosses DBOTH_FRAC
+    # run the UNCONDITIONAL both-sides table build (no pl.when tax, piped), so
+    # their mixed tax collapses to the extra side's matmuls on every step —
+    # table passes scale with P.  Fit to merged+dboth bucket profiles
+    # (vas/boneS10: D=1 853-896, D=2 632-635, D=8 753-778 ns/step).
+    DBOTH_FRAC = 0.34
+    DBOTH_NS = lambda P_k: 2.5 * P_k * rblk  # noqa: E731
 
     def step_base(k, cpos):
         # Per-depth extras, fit to ALL hardware runs: the row-pack scatter
@@ -895,9 +902,15 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
             # merged plans, slightly optimistic for repeat visits)
             loads = len(np.unique(out_all[mine] * np.int64(nchunks) + slab_chunk[mine]))
             wb = len(np.unique(out_all[mine]))
-            cost += (ns * (step_base(k, cpos) + (DUAL_NS if n_mixed else 0.0))
-                     + n_mixed * MIXED_NS + loads * LOAD_NS + wb * WB_NS
-                     + PERCALL_NS)
+            if n_mixed >= DBOTH_FRAC * ns:
+                # unconditional both-sides build: flat per-step tax, no
+                # per-mixed charge (mirrors the kernel's dboth specialization)
+                cost += (ns * (step_base(k, cpos) + DBOTH_NS(128 >> k))
+                         + loads * LOAD_NS + wb * WB_NS + PERCALL_NS)
+            else:
+                cost += (ns * (step_base(k, cpos) + (DUAL_NS if n_mixed else 0.0))
+                         + n_mixed * MIXED_NS + loads * LOAD_NS + wb * WB_NS
+                         + PERCALL_NS)
         return cost, (c, trb, nout_c, occ_c, out_c, packs, scopy,
                       sb_var, sb_step, sb_pos)
 
