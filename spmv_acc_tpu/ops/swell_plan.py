@@ -796,7 +796,7 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
     # table passes scale with P.  Fit to merged+dboth bucket profiles
     # (vas/boneS10: D=1 853-896, D=2 632-635, D=8 753-778 ns/step).
     DBOTH_FRAC = 0.34
-    DBOTH_NS = lambda P_k: 2.5 * P_k * rblk  # noqa: E731
+    DBOTH_NS = lambda P_k: 1.2 * P_k * rblk  # noqa: E731
 
     def step_base(k, cpos):
         # Per-depth extras, fit to ALL hardware runs: the row-pack scatter
@@ -922,12 +922,18 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
     elif force == "0":
         _, state = run_config(False)
     else:
-        cost_m, state_m = run_config(True)
-        cost_s, state_s = run_config(False)
+        # MERGED is the default policy outright (2026-08-18 hardware sweep,
+        # dboth kernels): forced-merged beat or tied forced-single on 6/7 large
+        # matrices (dielFilter -33%, Cube -28%, Bump -8%, largebasis -6%,
+        # Hardesty3/Ga41 tie; vas_stokes the lone -1.9% concession), while the
+        # multi-term score got the order wrong on largebasis under every
+        # DBOTH_NS tried.  One config also halves the plan-build time.  The
+        # model still scores the collapse candidate below and the env pins
+        # remain for A/B.
+        cost_b, state = run_config(True)
         if os.environ.get("SPMV_TPU_PLAN_DEBUG"):
-            print(f"[plan] cost merged={cost_m/1e3:.0f}us single={cost_s/1e3:.0f}us",
+            print(f"[plan] cost merged={cost_b/1e3:.0f}us (default policy)",
                   flush=True)
-        cost_b, state = ((cost_m, state_m) if cost_m < cost_s else (cost_s, state_s))
         if nslabs <= 8192 and not os.environ.get("SPMV_TPU_NO_ABSORB"):
             # tiny plans: a single collapsed bucket can beat per-depth buckets
             # on fixed per-call costs alone (gated with the other plan
