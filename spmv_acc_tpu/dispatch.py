@@ -300,7 +300,19 @@ def make_spmv_fn(
     # small scale (one fused program per iteration); past ~128MB the tunneled
     # compiler rejects the request (HTTP 413, measured), so big matrices return
     # the EAGER step — its inner jitted cores already take the arrays as args.
+    # Row-packing strategies DENSIFY to (m, padded width): estimate on that,
+    # not raw nnz (a 200k x 512 light pack is 1.2GB at 2.4M nnz — measured 413).
     est_bytes = csr.nnz * (np.dtype(csr.values.dtype).itemsize + 4) * 2
+    if chosen in ("thread_row", "wf_row", "block_row", "light", "vector_row"):
+        rp = np.asarray(csr.row_ptr)
+        maxlen = int(np.diff(rp).max()) if csr.rows else 1
+        from .ops.zoo import _WIDTH_CAP
+
+        width = min(max(maxlen, 1), _WIDTH_CAP)
+        est_bytes = max(
+            est_bytes,
+            csr.rows * width * (np.dtype(csr.values.dtype).itemsize + 4),
+        )
     fn = step if est_bytes > (128 << 20) else jax.jit(step)
     _FN_CACHE[key] = (fn, chosen)
     return fn, chosen
