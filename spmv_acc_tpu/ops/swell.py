@@ -1301,6 +1301,56 @@ def _bf16_planes(xf32, k):
     return planes
 
 
+def _plane_split_kernel(nsets, G):
+    """Fused chunk-plane builder: one grid step turns G (128,128) f32 chunk
+    blocks per set into their 3 bf16 planes each (ascending-exact split, see
+    _bf16_planes) — ONE Pallas pass instead of ~12 XLA elementwise passes
+    (measured 665us/iter of a 3552us Hardesty3 step, 19%).  G chunks per grid
+    step keep the DMAs long enough to stay bandwidth-bound."""
+
+    def rne(v):
+        u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        rr = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) & jnp.uint32(
+            0xFFFF0000)
+        return jax.lax.bitcast_convert_type(rr, jnp.float32)
+
+    def kernel(*refs):
+        ins, o_ref = refs[:nsets], refs[nsets]
+        for g in range(G):
+            for s in range(nsets):
+                v = ins[s][g]
+                c1 = rne(v)
+                r1 = v - c1
+                c2 = rne(r1)
+                c3 = r1 - c2
+                base = s * 3 * CHUNK_W
+                o_ref[g, base : base + CHUNK_W] = c1.astype(jnp.bfloat16)
+                o_ref[g, base + CHUNK_W : base + 2 * CHUNK_W] = c2.astype(
+                    jnp.bfloat16)
+                o_ref[g, base + 2 * CHUNK_W : base + 3 * CHUNK_W] = c3.astype(
+                    jnp.bfloat16)
+
+    return kernel
+
+
+def _plane_split_call(parts):
+    """parts: list of (nchunks, 128, 128) f32 -> (nchunks, 3*len*128, 128) bf16."""
+    nsets = len(parts)
+    nchunks = parts[0].shape[0]
+    G = int(os.environ.get("SPMV_TPU_PLANE_G", "4"))
+    while nchunks % G:
+        G //= 2
+    return pl.pallas_call(
+        _plane_split_kernel(nsets, G),
+        grid=(nchunks // G,),
+        in_specs=[pl.BlockSpec((G, CHUNK_W, CW), lambda c: (c, _Z, _Z))
+                  for _ in range(nsets)],
+        out_specs=pl.BlockSpec((G, 3 * nsets * CHUNK_W, CW), lambda c: (c, _Z, _Z)),
+        out_shape=jax.ShapeDtypeStruct((nchunks, 3 * nsets * CHUNK_W, CW),
+                                       jnp.bfloat16),
+    )(*parts)
+
+
 def _prep_x_pure(x, nchunks, is64, native, delta=0, r=1, k=1):
     """Chunk planes of x, front-padded by the plan's column phase shift delta.
 
@@ -1329,10 +1379,14 @@ def _prep_x_pure(x, nchunks, is64, native, delta=0, r=1, k=1):
             # the rel-1e-7 gate on heavy-cancellation rows (|y| ~ 1e-6 of the summands)
             # once matrices reach millions of rows.  3 planes puts the floor at 2^-48|x|.
             # Planes stack along sublanes -> ONE (nchunks, 768, 128) array, one DMA.
+            if not _interpret():
+                return _plane_split_call([xh, xl])
             return jnp.concatenate(_bf16_planes(xh, 3) + _bf16_planes(xl, 3), axis=1)
         xp = jnp.zeros((n_pad,), jnp.float32).at[delta : delta + x.shape[0]].set(
             x.astype(jnp.float32)
         ).reshape(shape)
+        if not _interpret():
+            return _plane_split_call([xp])
         return jnp.concatenate(_bf16_planes(xp, 3), axis=1)
     # BSR and/or SpMM: pad rows to whole nodes, slice into S = r*k sub-vectors
     # (slice s = c*r + j), shift by the node-level delta
