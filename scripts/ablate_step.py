@@ -52,17 +52,58 @@ def make_kernel(log2d, wide, dual, classpos, ab):
             ts_refs = None
         s = pl.program_id(0)
         buf = packed_ref[0]
+        if ab == "dma_only":
+            # floor probe: keep every DMA live (packed in, out tile), no compute
+            o_ref[0, :8] = jax.lax.bitcast_convert_type(buf[:8], jnp.float32)
+            return
         vhh = jax.lax.bitcast_convert_type(buf[:128], jnp.float32)
         vlo = jax.lax.bitcast_convert_type(buf[128:256], jnp.float32)
-        idx = _unpack_bytes(buf[nval : nval + 32], 128)
-        oh = _unpack_bytes(buf[nval + 32 : nval + 32 + ohw], 4 * ohw)
+        if ab == "no_unpack":
+            idx = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (4 * ohw, 128), 1)
+                  < 64).astype(jnp.int32)
+        else:
+            idx = _unpack_bytes(buf[nval : nval + 32], 128)
+            oh = _unpack_bytes(buf[nval + 32 : nval + 32 + ohw], 4 * ohw)
         rb = buf[nval + 32 + ohw : nval + 33 + ohw]
-        sets_hi = [[chunk_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]]
-        sets_lo = [[chunk_ref[0, (3 + i) * 128 : (4 + i) * 128] for i in range(3)]]
-        if dual:
-            sets_hi_b = [[chunkb_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]]
-            sets_lo_b = [[chunkb_ref[0, (3 + i) * 128 : (4 + i) * 128] for i in range(3)]]
-        if ab == "pipe_tables":
+        if ab != "wtab":
+            sets_hi = [[chunk_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]]
+            sets_lo = [[chunk_ref[0, (3 + i) * 128 : (4 + i) * 128] for i in range(3)]]
+            if dual:
+                sets_hi_b = [[chunkb_ref[0, i * 128 : (i + 1) * 128] for i in range(3)]]
+                sets_lo_b = [[chunkb_ref[0, (3 + i) * 128 : (4 + i) * 128] for i in range(3)]]
+        if ab == "wtab":
+            # one WIDE matmul per side: chunk planes lane-concatenated (128, 768)
+            # so the 6 per-side (.,128)@(128,128) matmuls collapse into a single
+            # (.,128)@(128,768) — probes whether per-matmul MXU setup overhead
+            # is the table-cost line item
+            nrows = boff + P if wide else P
+            ohr = oh[:nrows]
+
+            def expand(t):
+                if D == 1:
+                    return t
+                return jnp.broadcast_to(t[None], (D, P, 128)).reshape(128, 128)
+
+            def widedot(o, rhs):
+                return jax.lax.dot_general(
+                    o, rhs, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)
+
+            if dual:
+                oha = (ohr & 1).astype(jnp.bfloat16)
+                ohb = (ohr >> 1).astype(jnp.bfloat16)
+                sw = widedot(oha, chunk_ref[0]) + widedot(ohb, chunkb_ref[0])
+            else:
+                sw = widedot(ohr.astype(jnp.bfloat16), chunk_ref[0])
+            tsh = (sw[:, 256:384] + sw[:, 128:256]) + sw[:, :128]
+            tsl = (sw[:, 640:768] + sw[:, 512:640]) + sw[:, 384:512]
+            pairs = [
+                (expand(tsh[:P]), expand(tsh[boff:boff + P]) if wide else None),
+                (expand(tsl[:P]), expand(tsl[boff:boff + P]) if wide else None),
+            ]
+        elif ab == "pipe_tables":
             # SCHEDULING PROBE (semantics wrong: off-by-one tables): build this
             # step's tables into locals while the VPU chain consumes LAST step's
             # tables from scratch — measures whether Mosaic overlaps the MXU
@@ -130,7 +171,10 @@ def make_kernel(log2d, wide, dual, classpos, ab):
             ah, al = _split(v_h)
             e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
             e = e + (v_h * gl + (v_l * gh + v_l * gl))
-        for _ in range(log2d):
+        if ab == "no_fold":
+            p = p[: 128 >> log2d]
+            e = e[: 128 >> log2d]
+        for _ in range(0 if ab == "no_fold" else log2d):
             half = p.shape[0] // 2
             a, b = p[:half], p[half:]
             if ab == "no_fold2sum":
@@ -157,6 +201,12 @@ def make_kernel(log2d, wide, dual, classpos, ab):
             outs = S._scatter_exact(rb, (p, e), P)
             p, e = outs[0], outs[1]
         first = first_r[s]
+        if ab == "tiny_store":
+            # keep the chain alive, skip the predicated 2Sum accumulate + full
+            # tile stores (the out-block DMA writeback still happens — Pallas
+            # writes whole blocks — so this isolates the STORE/ACC ops only)
+            o_ref[0, :8] = p[:8] + e[:8]
+            return
         if ab == "uncond_acc":
             # branch-free: gate the carried value by (first == 0) instead of
             # predicating two bodies — probes whether pl.when is the cliff
@@ -198,14 +248,22 @@ def make_kernel(log2d, wide, dual, classpos, ab):
 
 
 def call_ab(ba, chunks, log2d, wide, dual, classpos, nout, ab):
-    csel, cselb, hasb, osel, first, packed, touched = ba
+    if len(ba) == 11:
+        (_cp, _cbp, _hbp, csel, cselb, hasb, osel, first, _ohs, packed,
+         touched) = ba
+    else:
+        csel, cselb, hasb, osel, first, packed, touched = ba
     nsteps = packed.shape[0]
     in_specs = [
-        pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
-        pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+        pl.BlockSpec((1, packed.shape[1], 128),
+                     (lambda s, *_: (_Z, _Z, _Z)) if ab == "fixed_packed"
+                     else (lambda s, *_: (s, _Z, _Z))),
+        pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
+                     (lambda s, csel, *_: (_Z, _Z, _Z)) if ab == "fixed_chunk"
+                     else (lambda s, csel, *_: (csel[s], _Z, _Z))),
     ]
     if dual:
-        in_specs.append(pl.BlockSpec((1, chunks.shape[1], 128),
+        in_specs.append(pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
                                      lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)))
     n_scratch = 2 if (dual or ab == "pipe_tables") else 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -213,7 +271,10 @@ def call_ab(ba, chunks, log2d, wide, dual, classpos, nout, ab):
         grid=(nsteps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 2 * ROUT, 128),
-                               lambda s, csel, cselb, hasb, osel, *_: (osel[s], _Z, _Z)),
+                               (lambda s, csel, cselb, hasb, osel, *_: (_Z, _Z, _Z))
+                               if ab == "fixed_out"
+                               else (lambda s, csel, cselb, hasb, osel, *_:
+                                     (osel[s], _Z, _Z))),
         scratch_shapes=[pltpu.VMEM((S._ts_rows(log2d, wide), 128), jnp.float32)
                         for _ in range(n_scratch)],
     )
@@ -238,6 +299,13 @@ def main():
     x, _ = random_x_y(csr.shape[1], csr.shape[0], seed=42, dtype=np.float64)
     chunks = _prep_x_pure(jnp.asarray(x), nchunks, True, native=False, delta=delta)
     pert = chunks[:, :1].astype(jnp.float32)
+    # lane-concatenated plane layout for the wtab probe: (nchunks, 128, 6*128)
+    cn = np.asarray(chunks)
+    npl = cn.shape[1] // 128
+    chunks_t = jnp.asarray(
+        cn.reshape(cn.shape[0], npl, 128, 128).transpose(0, 2, 1, 3)
+        .reshape(cn.shape[0], 128, npl * 128))
+    pert_t = chunks_t[:, :1].astype(jnp.float32)
     order = sorted(range(len(bargs)), key=lambda i: -bargs[i][5].shape[0])
     pick = [order[int(sys.argv[2])]] if len(sys.argv) > 2 else order[:2]
     for bi in pick:
@@ -246,8 +314,12 @@ def main():
         nsteps = ba[5].shape[0]
         print(f"bucket {bi}: D={1 << l2d} wide={int(wide)} dual={int(dual)} "
               f"cpos={int(cpos)} steps={nsteps}", flush=True)
-        variants = ["full", "no_tables", "pipe_tables", "no_gather"]
+        variants = (sys.argv[3].split(",") if len(sys.argv) > 3 else
+                    ["full", "dma_only", "fixed_packed", "fixed_chunk", "fixed_out",
+                     "no_unpack", "no_fold", "no_mask", "tiny_store", "no_gather",
+                     "no_dekker", "no_tables"])
         for ab in variants:
+            cha, pa = (chunks_t, pert_t) if ab == "wtab" else (chunks, pert)
 
             @jax.jit
             def loop(ba, chunks, pert, n, ab=ab, l2d=l2d, wide=wide, dual=dual,
@@ -263,7 +335,7 @@ def main():
 
             def once(nn):
                 t = time.perf_counter()
-                r = loop(ba, chunks, pert, nn)
+                r = loop(ba, cha, pa, nn)
                 np.asarray(jax.device_get(r))
                 return time.perf_counter() - t
 

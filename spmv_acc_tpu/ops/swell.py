@@ -92,89 +92,95 @@ def _dot1(a, b):
     )
 
 
-def _tables_dual(oh, pa_sets, pb_sets, has_b, ts_refs, P, D, wide, dboth=False):
-    """Build per-sublane x-table pairs (aligned rows A = window base w, B = w+1)
-    from the CHUNK-PAIR one-hot and bf16-split chunk planes.
+def _assemble_sets(sw, bases):
+    """Slice the wide matmul result into per-set tables and reconstruct the f32
+    values: each set is 3 bf16 planes at lane blocks [b, b+1, b+2].  ASCENDING
+    plane order makes the reconstruction exact: c3+c2 equals the first split
+    residual r1 (itself an f32), and r1+c1 == x by construction — descending
+    order rounds the 25-bit span (~2^-24 |x|)."""
+    return [
+        (sw[:, (b + 2) * CW : (b + 3) * CW] + sw[:, (b + 1) * CW : (b + 2) * CW])
+        + sw[:, b * CW : (b + 1) * CW]
+        for b in bases
+    ]
 
-    Profiling showed the HIGHEST-precision (128,128,128) one-hot matmuls were ~50%
-    of the step.  Replacement: one (BOFF+P,128,128) matmul per bf16 plane at DEFAULT
-    precision — each plane is a single MXU pass, the one-hot rows make every output
-    element a sum of ≤1 nonzero per plane (exact), and the planes are disjoint
-    mantissa segments of the f32 chunk so their f32 sum reconstructs it exactly.
-    The (P,128) halves tile over sublanes (slot-major order ⇒ plain broadcast).
+
+def _tables_dual(oh, ca, cb, has_b, ts_refs, P, D, wide, bases, dboth=False):
+    """Build per-sublane x-table pairs (aligned rows A = window base w, B = w+1)
+    from the CHUNK-PAIR one-hot and lane-concatenated bf16 chunk planes.
+
+    ``ca``/``cb`` are (128, nplanes*128) chunk blocks: window w's plane p sits at
+    [w, p*128:(p+1)*128].  ONE wide matmul per one-hot side builds every plane of
+    every table set in a single MXU pass-train (measured: 12 separate (.,128)@
+    (128,128) matmuls pay ~250ns/step of per-matmul setup; the wide rhs form is
+    ~25% faster end-to-end on a dual D=2 bucket).  Each output element is a sum
+    of ≤1 nonzero per plane (exact one-hot rows), and the planes are disjoint
+    mantissa segments of the f32 chunk, so the per-set slice-sum (_assemble_sets)
+    reconstructs the f32 chunk values exactly.  ``bases`` lists each table set's
+    first plane index (f32: one set per x-slice; f64: hi sets then lo sets).
 
     Dual-chunk: the one-hot VALUE encodes the source chunk (1 = chunk a, 2 =
-    chunk b; each position lives on one side, so a+b stays exact) — same packed
-    bytes as a single-chunk selector.  Side handling is predicated with pl.when
-    blocks writing a VMEM scratch (ts_refs, one per table set): the single-chunk
-    branch uses the raw one-hot (pure value-1) with no decode, so the common
-    path matches the single-chunk kernel; lax.cond with matmul branches measured
-    +170..370ns/step, pl.when is the fast Mosaic predication.  pa_sets/pb_sets
-    are lists of plane-lists (one per table set: f32 has one, f64 has hi+lo);
-    returns one (tableA, tableB-or-None) pair per set.
+    chunk b; each position lives on one side, so summing the two sides' matmul
+    results elementwise is exact — the absent side contributes exact zeros).
+    Side handling is predicated with pl.when blocks writing a VMEM scratch
+    (ts_refs, one per table set) unless ``dboth`` (see below); lax.cond with
+    matmul branches measured +170..370ns/step, pl.when is the fast Mosaic
+    predication.  Returns one (tableA, tableB-or-None) pair per set.
     """
     boff = max(P, 8)
     nrows = boff + P if wide else P
     ohr = oh[:nrows]  # [A | pad | B] (wide) or [A] (narrow)
-
-    def build(ohx, planes):
-        # ASCENDING plane order makes the f32 reconstruction exact: c3+c2 equals
-        # the first split residual r1 (itself an f32), and r1+c1 == x by
-        # construction — descending order rounds the 25-bit span (~2^-24 |x|).
-        ts = _dot1(ohx, planes[-1])
-        for c in reversed(planes[:-1]):
-            ts = ts + _dot1(ohx, c)
-        return ts
 
     def expand(t):
         if D == 1:
             return t
         return jnp.broadcast_to(t[None], (D, P, 128)).reshape(128, 128)
 
-    if pb_sets is None:
-        # single-chunk bucket (no dual step anywhere): the original zero-overhead
-        # path — no chunk-b operand, no predication, no side decode
-        ohx = ohr.astype(jnp.bfloat16)
+    def pairs_of(tables):
         return [
             (expand(ts[:P]), expand(ts[boff : boff + P]) if wide else None)
-            for ts in (build(ohx, ps) for ps in pa_sets)
+            for ts in tables
         ]
+
+    if cb is None:
+        # single-chunk bucket (no dual step anywhere): the original zero-overhead
+        # path — no chunk-b operand, no predication, no side decode
+        sw = _dot1(ohr.astype(jnp.bfloat16), ca)
+        return pairs_of(_assemble_sets(sw, bases))
 
     if dboth:
         # mixed-heavy bucket: build BOTH sides unconditionally.  The absent
-        # side's one-hot bits are zero, so its matmuls contribute exact zeros —
+        # side's one-hot bits are zero, so its matmul contributes exact zeros —
         # bit-identical to the branched build — and dropping the 3-way pl.when
         # removes Mosaic's matmul-predication tax (+170..370ns/step) from EVERY
-        # step, at the cost of the extra side's matmuls on pure steps.  Chosen
+        # step, at the cost of one extra wide matmul on pure steps.  Chosen
         # per bucket at trace time when the dual fraction crosses
         # SPMV_TPU_DBOTH_FRAC (compile-time specialization, no scratch needed).
         oha = (ohr & 1).astype(jnp.bfloat16)
         ohb = (ohr >> 1).astype(jnp.bfloat16)
-        return [
-            (expand(ts[:P]), expand(ts[boff : boff + P]) if wide else None)
-            for ts in (build(oha, pa) + build(ohb, pb)
-                       for pa, pb in zip(pa_sets, pb_sets))
-        ]
+        sw = _dot1(oha, ca) + _dot1(ohb, cb)
+        return pairs_of(_assemble_sets(sw, bases))
 
     @pl.when(has_b == 0)
     def _():
-        ohx = ohr.astype(jnp.bfloat16)
-        for ref, ps in zip(ts_refs, pa_sets):
-            ref[:nrows] = build(ohx, ps)
+        sw = _dot1(ohr.astype(jnp.bfloat16), ca)
+        for ref, ts in zip(ts_refs, _assemble_sets(sw, bases)):
+            ref[:nrows] = ts
 
     @pl.when(has_b == 1)
     def _():
         oha = (ohr & 1).astype(jnp.bfloat16)
         ohb = (ohr >> 1).astype(jnp.bfloat16)
-        for ref, pa, pb in zip(ts_refs, pa_sets, pb_sets):
-            ref[:nrows] = build(oha, pa) + build(ohb, pb)
+        sw = _dot1(oha, ca) + _dot1(ohb, cb)
+        for ref, ts in zip(ts_refs, _assemble_sets(sw, bases)):
+            ref[:nrows] = ts
 
     @pl.when(has_b == 2)
     def _():
-        # all slabs on slot b (one-hot values all 2): single matmul set, no mix
-        ohx = (ohr >> 1).astype(jnp.bfloat16)
-        for ref, ps in zip(ts_refs, pb_sets):
-            ref[:nrows] = build(ohx, ps)
+        # all slabs on slot b (one-hot values all 2): single matmul, no mix
+        sw = _dot1((ohr >> 1).astype(jnp.bfloat16), cb)
+        for ref, ts in zip(ts_refs, _assemble_sets(sw, bases)):
+            ref[:nrows] = ts
 
     return [
         (expand(ref[:P]), expand(ref[boff : boff + P]) if wide else None)
@@ -182,23 +188,17 @@ def _tables_dual(oh, pa_sets, pb_sets, has_b, ts_refs, P, D, wide, dboth=False):
     ]
 
 
-def _build_tables_refs(oh, pa_sets, pb_sets, has_b, ts_refs, nrows, dboth=False):
+def _build_tables_refs(oh, ca, cb, has_b, ts_refs, nrows, bases, dboth=False):
     """Write one step's table sets into ts_refs (no read-back) — the write half
     of _tables_dual, used by the software-pipelined kernels to build step s+1's
     tables while step s's VPU chain runs (measured: Mosaic overlaps the
     independent MXU matmuls with the chain, -14..16%/step on boneS10 buckets)."""
     ohr = oh[:nrows]
 
-    def build(ohx, planes):
-        ts = _dot1(ohx, planes[-1])
-        for c in reversed(planes[:-1]):
-            ts = ts + _dot1(ohx, c)
-        return ts
-
-    if pb_sets is None:
-        ohx = ohr.astype(jnp.bfloat16)
-        for ref, ps in zip(ts_refs, pa_sets):
-            ref[:nrows] = build(ohx, ps)
+    if cb is None:
+        sw = _dot1(ohr.astype(jnp.bfloat16), ca)
+        for ref, ts in zip(ts_refs, _assemble_sets(sw, bases)):
+            ref[:nrows] = ts
         return
 
     if dboth:
@@ -206,28 +206,30 @@ def _build_tables_refs(oh, pa_sets, pb_sets, has_b, ts_refs, nrows, dboth=False)
         # which also makes dual buckets software-pipelineable
         oha = (ohr & 1).astype(jnp.bfloat16)
         ohb = (ohr >> 1).astype(jnp.bfloat16)
-        for ref, pa, pb in zip(ts_refs, pa_sets, pb_sets):
-            ref[:nrows] = build(oha, pa) + build(ohb, pb)
+        sw = _dot1(oha, ca) + _dot1(ohb, cb)
+        for ref, ts in zip(ts_refs, _assemble_sets(sw, bases)):
+            ref[:nrows] = ts
         return
 
     @pl.when(has_b == 0)
     def _():
-        ohx = ohr.astype(jnp.bfloat16)
-        for ref, ps in zip(ts_refs, pa_sets):
-            ref[:nrows] = build(ohx, ps)
+        sw = _dot1(ohr.astype(jnp.bfloat16), ca)
+        for ref, ts in zip(ts_refs, _assemble_sets(sw, bases)):
+            ref[:nrows] = ts
 
     @pl.when(has_b == 1)
     def _():
         oha = (ohr & 1).astype(jnp.bfloat16)
         ohb = (ohr >> 1).astype(jnp.bfloat16)
-        for ref, pa, pb in zip(ts_refs, pa_sets, pb_sets):
-            ref[:nrows] = build(oha, pa) + build(ohb, pb)
+        sw = _dot1(oha, ca) + _dot1(ohb, cb)
+        for ref, ts in zip(ts_refs, _assemble_sets(sw, bases)):
+            ref[:nrows] = ts
 
     @pl.when(has_b == 2)
     def _():
-        ohx = (ohr >> 1).astype(jnp.bfloat16)
-        for ref, ps in zip(ts_refs, pb_sets):
-            ref[:nrows] = build(ohx, ps)
+        sw = _dot1((ohr >> 1).astype(jnp.bfloat16), cb)
+        for ref, ts in zip(ts_refs, _assemble_sets(sw, bases)):
+            ref[:nrows] = ts
 
 
 def _read_pairs(ts_refs, P, D, wide):
@@ -371,14 +373,11 @@ def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
         idx = _unpack_bytes(buf[nval : nval + 32], 128)
         oh = _unpack_bytes(buf[nval + 32 : nval + 32 + ohw], 4 * ohw)
         rb = buf[nval + 32 + ohw : nval + 33 + ohw]
-        pa_sets, pb_sets = [], ([] if dual else None)
-        for j in range(S):
-            base = j * 3 * 128
-            pa_sets.append([chunk_ref[0, base + i * 128 : base + (i + 1) * 128]
-                            for i in range(3)])
-            if dual:
-                pb_sets.append([chunkb_ref[0, base + i * 128 : base + (i + 1) * 128]
-                                for i in range(3)])
+        # lane-concatenated chunk planes: x-slice j's 3 bf16 planes at lane
+        # blocks [3j, 3j+3) — one wide matmul builds every table set
+        ca = chunk_ref[0]
+        cb = chunkb_ref[0] if dual else None
+        bases = [3 * j for j in range(S)]
         nrows_t = boff + P if wide else P
         if pipe:
             # step 0 is a zero-value dummy: its tables may be garbage but must
@@ -396,11 +395,11 @@ def _make_f32_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
             # hasb_r is the build branch.  The pair loads above are already
             # issued, so the ref stores here cannot clobber this step's tables.
             ohn = _unpack_bytes(ohn_ref[0], 4 * ohw)
-            _build_tables_refs(ohn, pa_sets, pb_sets, hasb_r[s], ts_refs, nrows_t,
+            _build_tables_refs(ohn, ca, cb, hasb_r[s], ts_refs, nrows_t, bases,
                                dboth)
         else:
-            pairs = _tables_dual(oh, pa_sets, pb_sets, hasb_r[s], ts_refs, P, D, wide,
-                                 dboth)
+            pairs = _tables_dual(oh, ca, cb, hasb_r[s], ts_refs, P, D, wide,
+                                 bases, dboth)
         gs = []
         for j in range(S):
             ta, tb = pairs[j]
@@ -490,20 +489,11 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
         idx = _unpack_bytes(buf[nval : nval + 32], 128)
         oh = _unpack_bytes(buf[nval + 32 : nval + 32 + ohw], 4 * ohw)
         rb = buf[nval + 32 + ohw : nval + 33 + ohw]
-        sets_hi, sets_lo = [], []
-        sets_hi_b, sets_lo_b = ([], []) if dual else (None, None)
-        for j in range(S):
-            base = j * 6 * 128
-            pj = [chunk_ref[0, base + i * 128 : base + (i + 1) * 128] for i in range(6)]
-            sets_hi.append(pj[:3])
-            sets_lo.append(pj[3:])
-            if dual:
-                pbj = [chunkb_ref[0, base + i * 128 : base + (i + 1) * 128]
-                       for i in range(6)]
-                sets_hi_b.append(pbj[:3])
-                sets_lo_b.append(pbj[3:])
-        pa_all = sets_hi + sets_lo
-        pb_all = (sets_hi_b + sets_lo_b) if dual else None
+        # lane-concatenated chunk planes: x-slice j's hi planes at lane blocks
+        # [6j, 6j+3), lo planes at [6j+3, 6j+6); set order = all hi, then all lo
+        ca = chunk_ref[0]
+        cb = chunkb_ref[0] if dual else None
+        bases = [6 * j for j in range(S)] + [6 * j + 3 for j in range(S)]
         nrows_t = boff + P if wide else P
         if pipe:
             # step 0 is a zero-value dummy: its tables may be garbage but must
@@ -521,11 +511,11 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
             # hasb_r is the build branch.  The pair loads above are already
             # issued, so the ref stores here cannot clobber this step's tables.
             ohn = _unpack_bytes(ohn_ref[0], 4 * ohw)
-            _build_tables_refs(ohn, pa_all, pb_all, hasb_r[s], ts_refs, nrows_t,
+            _build_tables_refs(ohn, ca, cb, hasb_r[s], ts_refs, nrows_t, bases,
                                dboth)
         else:
-            pairs = _tables_dual(oh, pa_all, pb_all, hasb_r[s], ts_refs, P, D, wide,
-                                  dboth)
+            pairs = _tables_dual(oh, ca, cb, hasb_r[s], ts_refs, P, D, wide,
+                                 bases, dboth)
         phs: list = [None] * (r * k)
         pes: list = [None] * (r * k)
         for c in range(k):
@@ -758,10 +748,10 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
                            is64=False, acc=acc, acc_mode=acc_mode, dboth=dboth)
     in_specs = [
         pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
-        pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+        pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]), lambda s, csel, *_: (csel[s], _Z, _Z)),
     ]
     if dual:
-        in_specs.append(pl.BlockSpec((1, chunks.shape[1], 128),
+        in_specs.append(pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
                                      lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)))
     io_alias = {}
     if acc_mode:
@@ -799,10 +789,10 @@ def _call_piped(csel_p, cselb_p, hasb_p, osel, first, packed, ohs, chunks,
     nsets = 2 if is64 else 1
     in_specs = [
         pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
-        pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+        pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]), lambda s, csel, *_: (csel[s], _Z, _Z)),
     ]
     if dual:
-        in_specs.append(pl.BlockSpec((1, chunks.shape[1], 128),
+        in_specs.append(pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
                                      lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)))
     in_specs.append(pl.BlockSpec(
         (1, ohs.shape[1], 128),
@@ -849,7 +839,7 @@ def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
         # exact legacy 3-scalar call for single-chunk buckets (A/B: isolate scalar count)
         in_specs = [
             pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
-            pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+            pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]), lambda s, csel, *_: (csel[s], _Z, _Z)),
         ]
         io_alias = {}
         if acc_mode:
@@ -881,10 +871,10 @@ def _call_f64(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
           *((acc,) if acc_mode else ()))
     in_specs = [
         pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),
-        pl.BlockSpec((1, chunks.shape[1], 128), lambda s, csel, *_: (csel[s], _Z, _Z)),
+        pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]), lambda s, csel, *_: (csel[s], _Z, _Z)),
     ]
     if dual:
-        in_specs.append(pl.BlockSpec((1, chunks.shape[1], 128),
+        in_specs.append(pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
                                      lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)))
     io_alias = {}
     if acc_mode:
@@ -1323,18 +1313,17 @@ def _plane_split_kernel(nsets, G):
                 r1 = v - c1
                 c2 = rne(r1)
                 c3 = r1 - c2
-                base = s * 3 * CHUNK_W
-                o_ref[g, base : base + CHUNK_W] = c1.astype(jnp.bfloat16)
-                o_ref[g, base + CHUNK_W : base + 2 * CHUNK_W] = c2.astype(
-                    jnp.bfloat16)
-                o_ref[g, base + 2 * CHUNK_W : base + 3 * CHUNK_W] = c3.astype(
-                    jnp.bfloat16)
+                base = s * 3 * CW
+                o_ref[g, :, base : base + CW] = c1.astype(jnp.bfloat16)
+                o_ref[g, :, base + CW : base + 2 * CW] = c2.astype(jnp.bfloat16)
+                o_ref[g, :, base + 2 * CW : base + 3 * CW] = c3.astype(jnp.bfloat16)
 
     return kernel
 
 
 def _plane_split_call(parts):
-    """parts: list of (nchunks, 128, 128) f32 -> (nchunks, 3*len*128, 128) bf16."""
+    """parts: list of (nchunks, 128, 128) f32 -> (nchunks, 128, 3*len*128) bf16
+    (lane-concatenated planes: set s's plane p at lanes [(3s+p)*128, ...))."""
     nsets = len(parts)
     nchunks = parts[0].shape[0]
     G = int(os.environ.get("SPMV_TPU_PLANE_G", "4"))
@@ -1345,8 +1334,8 @@ def _plane_split_call(parts):
         grid=(nchunks // G,),
         in_specs=[pl.BlockSpec((G, CHUNK_W, CW), lambda c: (c, _Z, _Z))
                   for _ in range(nsets)],
-        out_specs=pl.BlockSpec((G, 3 * nsets * CHUNK_W, CW), lambda c: (c, _Z, _Z)),
-        out_shape=jax.ShapeDtypeStruct((nchunks, 3 * nsets * CHUNK_W, CW),
+        out_specs=pl.BlockSpec((G, CHUNK_W, 3 * nsets * CW), lambda c: (c, _Z, _Z)),
+        out_shape=jax.ShapeDtypeStruct((nchunks, CHUNK_W, 3 * nsets * CW),
                                        jnp.bfloat16),
     )(*parts)
 
@@ -1378,16 +1367,17 @@ def _prep_x_pure(x, nchunks, is64, native, delta=0, r=1, k=1):
             # a 2-plane lo truncates xl at 16 bits -> abs error ~2^-40|x|, which breaches
             # the rel-1e-7 gate on heavy-cancellation rows (|y| ~ 1e-6 of the summands)
             # once matrices reach millions of rows.  3 planes puts the floor at 2^-48|x|.
-            # Planes stack along sublanes -> ONE (nchunks, 768, 128) array, one DMA.
+            # Planes concatenate along LANES -> ONE (nchunks, 128, 768) array: one
+            # DMA per chunk AND a single wide rhs for the in-kernel table matmul.
             if not _interpret():
                 return _plane_split_call([xh, xl])
-            return jnp.concatenate(_bf16_planes(xh, 3) + _bf16_planes(xl, 3), axis=1)
+            return jnp.concatenate(_bf16_planes(xh, 3) + _bf16_planes(xl, 3), axis=2)
         xp = jnp.zeros((n_pad,), jnp.float32).at[delta : delta + x.shape[0]].set(
             x.astype(jnp.float32)
         ).reshape(shape)
         if not _interpret():
             return _plane_split_call([xp])
-        return jnp.concatenate(_bf16_planes(xp, 3), axis=1)
+        return jnp.concatenate(_bf16_planes(xp, 3), axis=2)
     # BSR and/or SpMM: pad rows to whole nodes, slice into S = r*k sub-vectors
     # (slice s = c*r + j), shift by the node-level delta
     S = r * k
@@ -1397,10 +1387,18 @@ def _prep_x_pure(x, nchunks, is64, native, delta=0, r=1, k=1):
     xs = xs.transpose(0, 2, 1).reshape(nbr, S)  # column s = c*r + j
 
     def stack_slices(planes):
-        # planes: list of (n_pad, S) arrays -> (nchunks, S*K*128, 128) slice-major
+        # native-dtype layout (interpret path): list of (n_pad, S) arrays ->
+        # (nchunks, S*K*128, 128) slice-major along SUBLANES
         st = jnp.stack(planes)  # (K, n_pad, S)
         arr = st.transpose(2, 0, 1).reshape(S, len(planes), nchunks, CHUNK_W, CW)
         return arr.transpose(2, 0, 1, 3, 4).reshape(nchunks, -1, CW)
+
+    def stack_slices_lanes(planes):
+        # bf16-plane layout (TPU kernels): slice s's plane p at LANE block
+        # (s*K + p) — the wide-rhs form the table matmul consumes
+        st = jnp.stack(planes)  # (K, n_pad, S)
+        arr = st.transpose(2, 0, 1).reshape(S, len(planes), nchunks, CHUNK_W, CW)
+        return arr.transpose(2, 3, 0, 1, 4).reshape(nchunks, CHUNK_W, -1)
 
     if native:
         dt = jnp.float64 if is64 else jnp.float32
@@ -1411,10 +1409,10 @@ def _prep_x_pure(x, nchunks, is64, native, delta=0, r=1, k=1):
             xs.astype(jnp.float64))
         Xh = X64.astype(jnp.float32)
         Xl = (X64 - Xh.astype(jnp.float64)).astype(jnp.float32)
-        return stack_slices(_bf16_planes(Xh, 3) + _bf16_planes(Xl, 3))
+        return stack_slices_lanes(_bf16_planes(Xh, 3) + _bf16_planes(Xl, 3))
     X = jnp.zeros((n_pad, S), jnp.float32).at[delta : delta + nbr].set(
         xs.astype(jnp.float32))
-    return stack_slices(_bf16_planes(X, 3))
+    return stack_slices_lanes(_bf16_planes(X, 3))
 
 
 def swell_ax(bargs, tail, x, statics):
