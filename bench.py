@@ -1,4 +1,4 @@
-"""Benchmark driver — run on real TPU hardware; prints ONE JSON line.
+"""Benchmark driver — run on real TPU hardware; prints ONE JSON line (the last one).
 
 Protocol (reference lineage: 10 warmups + timed reps, benchmark/csr_spmv.hpp:48-74 —
 adapted to TPU measurement reality): per matrix, the SpMV is iterated inside ONE
@@ -14,11 +14,25 @@ see formats/generate.py).  Metrics use the reference's bytes/FLOP models
 
 Headline: geometric-mean roofline fraction over the LARGE set (the reference's own
 headline corpus), target >= 0.80 per chip (BASELINE.md); `vs_baseline = value/0.80`.
+
+Timeout robustness (round-2 postmortem: BENCH_r02 rc=124, no parsed JSON):
+  * the LARGE set (the headline) runs FIRST;
+  * after EVERY matrix a complete result JSON with ``"partial": true`` is printed,
+    so a killed run still leaves a parseable last line;
+  * SIGTERM/SIGINT emit the partial result before exiting;
+  * a self-imposed wall budget ($SPMV_TPU_BENCH_BUDGET_S, default 2700s) finalizes
+    early rather than being killed mid-matrix;
+  * cache population (corpus bin2 + swell plans) is spawned as a background CPU
+    process from here, walking the corpus in REVERSE so it meets the bench in the
+    middle (the reference's analyze-phase economics: csr_adaptive_plus_spmv.cpp:92-129).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -48,13 +62,84 @@ from spmv_acc_tpu.utils.stats import (  # noqa: E402
 from spmv_acc_tpu.utils.verify import verify_y  # noqa: E402
 
 SMALL = ["rajat03", "poli_large", "dw4096", "bayer10", "epb1", "bcsstk18", "coater2", "nemeth03", "exdata_1", "af23560"]
-# the reference's FULL 10-matrix large corpus (examples/large-data-set-batch.sh:24-51);
-# feasible in the driver budget since the corpus/plan disk caches cut per-matrix
-# host overhead from ~75s (generate + plan build) to seconds
+# the reference's FULL 10-matrix large corpus (examples/large-data-set-batch.sh:24-51)
 LARGE = ["largebasis", "Ga41As41H72", "TSOPF_RS_b2383", "boneS10", "Hardesty3",
          "dielFilterV3real", "RM07R", "vas_stokes_2M", "Cube_Coup_dt6", "Bump_2911"]
 DTYPE = np.float64
 BASELINE_ROOFLINE = 0.80
+BUDGET_S = float(os.environ.get("SPMV_TPU_BENCH_BUDGET_S", "2700"))
+
+_T_START = time.perf_counter()
+# mutable run state read by emit() and the signal handler
+_STATE = {"results": {}, "all_ok": True, "raw_ok": True, "spmm": [], "skipped": []}
+
+
+def geomean(vals):
+    return float(np.exp(np.mean(np.log(np.maximum(vals, 1e-9))))) if vals else 0.0
+
+
+def emit(partial: bool):
+    """Print a complete result JSON for everything measured so far.
+
+    Printed after every matrix so that a timeout/kill still leaves a parseable
+    final line; the driver takes the LAST JSON line.
+    """
+    results = _STATE["results"]
+    large_fracs = [results[n][0] for n in LARGE if n in results]
+    small_fracs = [results[n][0] for n in SMALL if n in results]
+    if large_fracs:
+        headline = geomean(large_fracs)
+        metric = "spmv_roofline_fraction_f64_geomean_large_set"
+    elif small_fracs:
+        headline = geomean(small_fracs)
+        metric = "spmv_roofline_fraction_f64_geomean_SMALL_SET_FALLBACK_large_set_failed"
+    else:
+        headline, metric = 0.0, "spmv_roofline_fraction"
+    out = {
+        "metric": metric,
+        "value": round(headline, 4),
+        "unit": "fraction_of_HBM_speed_of_light",
+        "vs_baseline": round(headline / BASELINE_ROOFLINE, 4),
+        "verify_all_pass": bool(_STATE["all_ok"]),
+        "verify_raw_kernel_all_pass": bool(_STATE["raw_ok"]),
+        "small_set_geomean": round(geomean(small_fracs), 4),
+        "gflops_geomean_large": round(geomean([results[n][1] for n in LARGE if n in results]), 2),
+        "corpus": len(results),
+        "large_done": len(large_fracs),
+        "elapsed_s": round(time.perf_counter() - _T_START, 1),
+    }
+    if partial:
+        out["partial"] = True
+    if _STATE["skipped"]:
+        out["skipped"] = _STATE["skipped"]
+    if _STATE["spmm"]:
+        out["spmm_k8_speedup_geomean"] = round(geomean(_STATE["spmm"]), 2)
+    print(json.dumps(out), flush=True)
+
+
+def _on_signal(signum, frame):  # emit what we have, then die cleanly
+    try:
+        _STATE["skipped"].append(f"signal_{signum}")
+        emit(partial=True)
+    finally:
+        os._exit(0)
+
+
+def spawn_populate():
+    """Background CPU-side cache population, reverse corpus order (meets the
+    bench in the middle).  JAX_PLATFORMS=cpu passed EXPLICITLY — the environment
+    pins axon and setdefault inside the script does not override it."""
+    lock = "/tmp/spmv_populate.lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        return None
+    names = list(reversed(LARGE + SMALL))
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "populate_caches.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    logf = open("/tmp/populate_bench.log", "w")
+    return subprocess.Popen([sys.executable, script, *names], env=env, stdout=logf, stderr=logf)
 
 
 def _iters_for(nnz: int) -> int:
@@ -86,13 +171,11 @@ def bench_matrix(name: str, log):
     # eager result above is the public-API contract; both are reported.
     rep_raw = rep
     if handle.strategy_used == "swell":
-        import os as _os
-
-        _os.environ["SPMV_TPU_NO_REFINE"] = "1"
+        os.environ["SPMV_TPU_NO_REFINE"] = "1"
         try:
             raw = np.asarray(spmv(csr, dx, dy, alpha=1.0, beta=1.0, strategy="swell"))
         finally:
-            _os.environ.pop("SPMV_TPU_NO_REFINE", None)
+            os.environ.pop("SPMV_TPU_NO_REFINE", None)
         rep_raw = verify_y(raw, golden, dtype=DTYPE)
     t_first = time.perf_counter() - t0
 
@@ -151,10 +234,6 @@ def bench_matrix(name: str, log):
     return frac, gflops, rep.ok, rep_raw.ok, per_us
 
 
-def geomean(vals):
-    return float(np.exp(np.mean(np.log(np.maximum(vals, 1e-9))))) if vals else 0.0
-
-
 SPMM_MATRICES = ["TSOPF_RS_b2383", "boneS10"]
 SPMM_K = 8
 
@@ -162,7 +241,8 @@ SPMM_K = 8
 def bench_spmm(name: str, spmv_per_us: float, log):
     """k-column SpMM vs k chained SpMVs (multi-RHS amortization of the
     values+index DMA; new scope — the reference is SpMV-only).  Returns the
-    speedup of one SpMM iteration over k SpMV iterations."""
+    speedup of one SpMM iteration over k SpMV iterations.  Structurally capped
+    near ~1.6x in f64 (only the DMA fraction amortizes; PERF_NOTES)."""
     from spmv_acc_tpu.ops.swell import make_swell_amx_run
 
     csr = example_like(name, dtype=DTYPE)
@@ -189,72 +269,60 @@ def bench_spmm(name: str, spmv_per_us: float, log):
     return speedup
 
 
+def _clear_device_caches():
+    # evict per-matrix device plans — the corpus exceeds HBM if cached
+    from spmv_acc_tpu import dispatch as _d
+    from spmv_acc_tpu import plan as _p
+    from spmv_acc_tpu.ops import swell as _s
+
+    _s._SWELL_CACHE.clear()
+    _d._FN_CACHE.clear()
+    _d._ELL_CACHE.clear()
+    _p.clear_plan_cache()
+
+
 def main():
     log = sys.stderr
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    spawn_populate()
     dev = jax.devices()[0]
-    print(f"device: {dev} ({dev.device_kind}), peak {chip_peak_gbs():.0f} GB/s", file=log, flush=True)
-    results = {}
-    all_ok = True
-    raw_ok = True
+    print(f"device: {dev} ({dev.device_kind}), peak {chip_peak_gbs():.0f} GB/s, "
+          f"budget {BUDGET_S:.0f}s", file=log, flush=True)
     per_us_by_name = {}
-    for name in SMALL + LARGE:
+    only = os.environ.get("SPMV_TPU_BENCH_ONLY")  # debug: comma-separated subset
+    order = only.split(",") if only else LARGE + SMALL
+    for name in order:  # LARGE first: the headline must land before any timeout
+        if time.perf_counter() - _T_START > BUDGET_S:
+            _STATE["skipped"].append(name)
+            continue
         try:
             frac, gf, ok, rok, per_us = bench_matrix(name, log)
-            results[name] = (frac, gf)
+            _STATE["results"][name] = (frac, gf)
             per_us_by_name[name] = per_us
-            all_ok &= ok
-            raw_ok &= rok
+            _STATE["all_ok"] &= ok
+            _STATE["raw_ok"] &= rok
         except Exception as e:  # keep the harness robust (csr_spmv.hpp:52-62 analog)
             print(f"  {name}: ERROR {type(e).__name__}: {e}", file=log, flush=True)
-            all_ok = False
+            _STATE["all_ok"] = False
         finally:
-            # evict per-matrix device plans — the corpus exceeds HBM if cached
-            from spmv_acc_tpu import dispatch as _d
-            from spmv_acc_tpu import plan as _p
-            from spmv_acc_tpu.ops import swell as _s
-
-            _s._SWELL_CACHE.clear()
-            _d._FN_CACHE.clear()
-            _d._ELL_CACHE.clear()
-            _p.clear_plan_cache()
-    spmm_speedups = []
+            _clear_device_caches()
+        emit(partial=True)
     for name in SPMM_MATRICES:
+        if time.perf_counter() - _T_START > BUDGET_S:
+            _STATE["skipped"].append(f"spmm_{name}")
+            continue
         if per_us_by_name.get(name, 0) > 0:
             try:
-                spmm_speedups.append(bench_spmm(name, per_us_by_name[name], log))
+                _STATE["spmm"].append(bench_spmm(name, per_us_by_name[name], log))
             except Exception as e:
                 print(f"  spmm {name}: ERROR {type(e).__name__}: {e}", file=log, flush=True)
             finally:
-                from spmv_acc_tpu.ops import swell as _s2
-
-                _s2._SWELL_CACHE.clear()
-    large_fracs = [results[n][0] for n in LARGE if n in results]
-    small_fracs = [results[n][0] for n in SMALL if n in results]
-    if not large_fracs and not small_fracs:
+                _clear_device_caches()
+    if not _STATE["results"]:
         print(json.dumps({"metric": "spmv_roofline_fraction", "value": 0.0, "unit": "fraction", "vs_baseline": 0.0}))
         return 1
-    # the metric name must describe what was actually computed: a silent
-    # small-set fallback under the large-set name would mislead (advisor finding)
-    if large_fracs:
-        headline = geomean(large_fracs)
-        metric = "spmv_roofline_fraction_f64_geomean_large_set"
-    else:
-        headline = geomean(small_fracs)
-        metric = "spmv_roofline_fraction_f64_geomean_SMALL_SET_FALLBACK_large_set_failed"
-    result = {
-        "metric": metric,
-        "value": round(headline, 4),
-        "unit": "fraction_of_HBM_speed_of_light",
-        "vs_baseline": round(headline / BASELINE_ROOFLINE, 4),
-        "verify_all_pass": bool(all_ok),
-        "verify_raw_kernel_all_pass": bool(raw_ok),
-        "small_set_geomean": round(geomean(small_fracs), 4),
-        "gflops_geomean_large": round(geomean([results[n][1] for n in LARGE if n in results]), 2),
-        "corpus": len(results),
-    }
-    if spmm_speedups:
-        result["spmm_k8_speedup_geomean"] = round(geomean(spmm_speedups), 2)
-    print(json.dumps(result))
+    emit(partial=False)
     return 0
 
 
