@@ -30,19 +30,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spmv_acc_tpu.ops import swell as S
-from spmv_acc_tpu.ops.swell import (ROUT, _bucket_args, _expand_tile, _gather_sel,
-                                    _lane_gather, _mask_col, _packed_rows,
-                                    _scatter_exact, _split, _statics, _tables_dual,
-                                    _ts_rows, _unpack_bytes, get_swell_plan)
+from spmv_acc_tpu.ops.swell import (ROUT, _bf16_rne, _bucket_args, _expand_tile,
+                                    _gather_sel, _lane_gather, _mask_col,
+                                    _packed_rows, _scatter_exact, _split, _statics,
+                                    _tables_dual, _ts_rows, _unpack_bytes,
+                                    get_swell_plan)
 
 _Z = np.int32(0)
 CW = 128
 
-
-def _rne(v):
-    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
-    rr = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) & jnp.uint32(0xFFFF0000)
-    return jax.lax.bitcast_convert_type(rr, jnp.float32)
+# single source of truth for the RNE bit trick — a silent divergence from the
+# production rounding would void the probe's bit-exactness premise (advisor r2)
+_rne = _bf16_rne
 
 
 def _build_planes(dst_ref, xhl):
@@ -89,7 +88,12 @@ def make_kernel(log2d, wide, dual, classpos, dboth, kprep):
 
             ca = pa_ref[...]
             if dual:
-                chg_b = jnp.logical_or(s == 0, cselb_r[s] != cselb_r[sp])
+                # gate on hasb too: long hasb==0 runs with stale/repeated cselb
+                # must not charge kprep for rebuilding an unused b-side block
+                # (advisor r2); production would skip that DMA+rebuild entirely
+                chg_b = jnp.logical_and(
+                    hasb_r[s] != 0,
+                    jnp.logical_or(s == 0, cselb_r[s] != cselb_r[sp]))
 
                 @pl.when(chg_b)
                 def _():
@@ -194,6 +198,57 @@ def call_v(ba, chunks, log2d, wide, dual, classpos, dboth, nout, kprep):
     )(*args)
 
 
+def _force_mat(chunks):
+    """Trivial Pallas consumer of the (perturbed) chunks array.  Pallas inputs
+    are always materialized, so this reproduces the timing loop's per-iteration
+    XLA concat copy exactly, without the SpMV kernel — a pure-XLA consumer would
+    let the concat fuse or DCE away and under-measure the copy."""
+    def k(c_ref, o_ref):
+        o_ref[...] = c_ref[0, :8, :128].astype(jnp.float32)
+
+    return pl.pallas_call(
+        k,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
+                               lambda s: (0, 0, 0))],
+        out_specs=pl.BlockSpec((8, 128), lambda s: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    )(chunks)
+
+
+def _copy_baseline(chunks, pert):
+    """Per-iteration cost (seconds) of the timing loop's chunks rebuild alone.
+
+    The loop-carried perturbation copies the ENTIRE chunks array every
+    iteration, and the copy size differs between variants (196KB/chunk full
+    bf16 planes vs 131KB/chunk kprep f32), scaling with nchunks rather than
+    chunk_loads — uncorrected it systematically biases the comparison toward
+    kprep (advisor r2, medium).  Measured here per variant and subtracted."""
+
+    @jax.jit
+    def loop(chunks, pert, n):
+        def body(i, c):
+            ch = jnp.concatenate(
+                [(pert * (1.0 + c * 1e-30)).astype(chunks.dtype),
+                 chunks[:, 1:]], axis=1)
+            o = _force_mat(ch)
+            return c + o[0, 0] * 1e-30
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def once(nn):
+        t = time.perf_counter()
+        r = loop(chunks, pert, nn)
+        np.asarray(jax.device_get(r))
+        return time.perf_counter() - t
+
+    n0, n1 = 17, 65
+    once(n0); once(n1)
+    lo = min(once(n0) for _ in range(3))
+    hi = min(once(n1) for _ in range(3))
+    return (hi - lo) / (n1 - n0)
+
+
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "boneS10"
     from spmv_acc_tpu.formats.generate import example_like, random_x_y
@@ -221,6 +276,10 @@ def main():
     pert_f = chunks_f[:, :1]
     order = sorted(range(len(bargs)), key=lambda i: -bargs[i][-2].shape[0])
     pick = [order[int(sys.argv[2])]] if len(sys.argv) > 2 else order[:3]
+    copy_per = {False: _copy_baseline(chunks_p, pert_p),
+                True: _copy_baseline(chunks_f, pert_f)}
+    print(f"copy baseline: full {copy_per[False] * 1e6:.1f} us/iter, "
+          f"kprep {copy_per[True] * 1e6:.1f} us/iter", flush=True)
     for bi in pick:
         ba = bargs[bi]
         l2d, wide, dual, cpos, _allout = log2ds[bi]
@@ -263,8 +322,10 @@ def main():
             lo = min(once(n0) for _ in range(3))
             hi = min(once(n1) for _ in range(3))
             per = (hi - lo) / (n1 - n0)
-            print(f"  {tag} {per / nsteps * 1e9:7.0f} ns/step "
-                  f"({per * 1e6:8.1f} us/iter)", flush=True)
+            adj = max(per - copy_per[kprep], 0.0)
+            print(f"  {tag} {adj / nsteps * 1e9:7.0f} ns/step "
+                  f"({adj * 1e6:8.1f} us/iter; raw {per * 1e6:.1f} incl. "
+                  f"{copy_per[kprep] * 1e6:.1f} copy)", flush=True)
         same = np.array_equal(outs[False], outs[True])
         print(f"  outputs bit-identical: {same}", flush=True)
         if not same:

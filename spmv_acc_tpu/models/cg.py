@@ -140,7 +140,7 @@ def dist_cg_solve(
     import functools
 
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from ..parallel._compat import shard_map
 
     D = part.num_shards
     lr = part.local_rows

@@ -45,7 +45,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .swell_plan import CHUNK_W, CW, LANES, ROUT, SwellPlan, build_swell_plan
+from .swell_plan import (CHUNK_W, CW, LANES, ROUT, SMALL_MERGE_NNZ, SwellPlan,
+                         build_swell_plan)
 from .xla import axpby_finish
 
 __all__ = ["spmv_swell", "get_swell_plan", "swell_spmv_f32", "swell_spmv_f64",
@@ -1082,6 +1083,10 @@ def _plan_cache_path(rp, ci, v, shape, dtype):
         for k in ("SPMV_TPU_FORCE_MERGE", "SPMV_TPU_FORCE_CPOS", "SPMV_TPU_NO_ABSORB",
                   "SPMV_TPU_BSR", "SPMV_TPU_NO_BSR")
     )
+    if len(ci) <= SMALL_MERGE_NNZ and not os.environ.get("SPMV_TPU_FORCE_MERGE"):
+        # size-aware default policy (single below the threshold) — tag ONLY the
+        # affected small keys so existing large-plan cache entries stay valid
+        pins += ",smallpol=2"
     h = zlib.crc32(pins.encode(), h)
     name = f"plan_v{_PLAN_CACHE_ABI}_{shape[0]}x{shape[1]}_{len(ci)}_{np.dtype(dtype).str.lstrip('<|')}_{h:08x}.npz"
     return os.path.join(cdir, name)

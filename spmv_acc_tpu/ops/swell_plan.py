@@ -48,6 +48,12 @@ __all__ = ["SwellBucket", "SwellPlan", "build_swell_plan"]
 LANES = 128          # rows per row-block = lanes
 CW = 128             # columns per window = gather table width
 CHUNK_W = 128        # windows per x-chunk  (chunk = 16384 columns)
+
+# below this nnz the default packing policy is SINGLE (no chunk merging): the
+# merged default was tuned on the >=5.6M-nnz LARGE sweep and measurably hurts
+# the reference's SMALL corpus (scripts/ab_small_merge.py, 2026-08-19).  The
+# corpus gap is 2.3M (exdata_1) vs 5.6M (largebasis); 4M splits it.
+SMALL_MERGE_NNZ = 4_000_000
 ROUT = 128           # row-blocks per output window (out tile = 16384 rows)
 
 
@@ -920,6 +926,17 @@ def _finish_swell_plan(m, n, nnz, nout, nchunks, copies, tile_rb, delta, dtype,
     elif force == "1":
         _, state = run_config(True)
     elif force == "0":
+        _, state = run_config(False)
+    elif nnz <= SMALL_MERGE_NNZ:
+        # size-aware default (2026-08-19 hardware A/B, scripts/ab_small_merge.py):
+        # on the reference's SMALL set SINGLE won 6/10 with 2 losses (geomean rf
+        # 0.0847 vs 0.0795; bcsstk18 +36%, poli_large +40%) — merging costs fill
+        # on small plans (bcsstk18 0.479 -> 0.178) where the LARGE sweep gained
+        # it.  The merged default below was tuned on >=5.6M-nnz matrices only.
+        # pure single — NOT the collapse candidate: the cost model prefers
+        # collapse on e.g. bcsstk18 (fill 0.479 -> 0.178) but hardware says
+        # single wins it by 36% (0.089 vs 0.065 rf); the model's per-call
+        # constant overrates bucket-count savings on tiny plans.
         _, state = run_config(False)
     else:
         # MERGED is the default policy outright (2026-08-18 hardware sweep,

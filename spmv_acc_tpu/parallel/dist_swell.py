@@ -33,22 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # jax >= 0.8 moved shard_map out of experimental (check_vma kwarg)
-    from jax import shard_map as _shard_map
-
-    def shard_map(f=None, **kw):
-        kw.setdefault("check_vma", False)
-        kw.pop("check_rep", None)
-        return _shard_map(f, **kw) if f is not None else _shard_map(**kw)
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map_old
-
-    def shard_map(f=None, **kw):
-        kw.setdefault("check_rep", False)
-        kw.pop("check_vma", None)
-        if f is not None:
-            return _shard_map_old(f, **kw)
-        return lambda g: _shard_map_old(g, **kw)
+from ._compat import shard_map
 
 from ..formats.containers import CSR
 from ..ops.swell import (CHUNK_W, CW, _bucket_args, _interpret, _statics,
