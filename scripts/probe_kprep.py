@@ -210,8 +210,8 @@ def _force_mat(chunks):
         k,
         grid=(1,),
         in_specs=[pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
-                               lambda s: (0, 0, 0))],
-        out_specs=pl.BlockSpec((8, 128), lambda s: (0, 0)),
+                               lambda s: (_Z, _Z, _Z))],
+        out_specs=pl.BlockSpec((8, 128), lambda s: (_Z, _Z)),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
     )(chunks)
 

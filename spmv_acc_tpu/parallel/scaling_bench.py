@@ -19,12 +19,21 @@ import sys
 import numpy as np
 
 
-def run_weak_scaling(device_counts, rows_per_device=4096, avg_nnz=16, iters=20,
-                     dtype=np.float64, engine="gather"):
-    """``engine='gather'``: XLA gather/segment-sum local compute (halo when
-    feasible).  ``engine='swell'``: the flagship kernels as local compute
-    (parallel/dist_swell.py, auto 1-hop halo) — use rows_per_device >= 32768 so
-    shard blocks span whole x chunks and the halo window fits."""
+def run_weak_scaling(device_counts, rows_per_device=32768, avg_nnz=16, iters=20,
+                     dtype=np.float64, engine="swell"):
+    """``engine='swell'`` (default): the flagship kernels as local compute
+    (parallel/dist_swell.py, auto 1-hop halo) — rows_per_device >= 32768 so
+    shard blocks span whole x chunks and the halo window fits.
+    ``engine='gather'``: XLA gather/segment-sum local compute (halo when
+    feasible).
+
+    Efficiency metrics: ``efficiency`` is true weak-scaling parallel efficiency
+    (per-device rate vs D=1) — meaningful ONLY on real multi-chip hardware.  On
+    a virtual CPU mesh every "device" shares one host, so compute serializes
+    and this metric trends to 1/D by construction; there
+    ``serialized_efficiency`` = D*T(1)/T(D) is the structural gate: it stays
+    near 1.0 iff distribution adds no overhead beyond the serialized compute
+    (halo exchange, collectives, resharding all land in the <1-eff slack)."""
     import jax
     import jax.numpy as jnp
 
@@ -80,14 +89,17 @@ def run_weak_scaling(device_counts, rows_per_device=4096, avg_nnz=16, iters=20,
         per_dev = rate / d
         if base_rate is None:
             base_rate = per_dev
+            base_us = per_us
         eff = per_dev / base_rate if base_rate else 0.0
+        ser_eff = (d * base_us / per_us) if per_us > 0 else 0.0
         results.append(
             dict(devices=d, rows=m, nnz=csr.nnz, us_per_spmv=round(per_us, 1),
-                 nnz_per_s=round(rate), efficiency=round(eff, 4))
+                 nnz_per_s=round(rate), efficiency=round(eff, 4),
+                 serialized_efficiency=round(ser_eff, 4))
         )
         print(
             f"D={d}: m={m} nnz={csr.nnz} {per_us:.0f}us/spmv "
-            f"{rate/1e6:.1f}M nnz/s eff={eff:.2%}",
+            f"{rate/1e6:.1f}M nnz/s eff={eff:.2%} ser_eff={ser_eff:.2%}",
             file=sys.stderr,
         )
     return results
@@ -96,17 +108,34 @@ def run_weak_scaling(device_counts, rows_per_device=4096, avg_nnz=16, iters=20,
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="scaling-bench")
     p.add_argument("--devices", default="1,2,4,8")
-    p.add_argument("--rows-per-device", type=int, default=4096)
+    p.add_argument("--rows-per-device", type=int, default=32768)
     p.add_argument("--avg-nnz", type=int, default=16)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--engine", choices=("gather", "swell"), default="gather")
+    p.add_argument("--engine", choices=("gather", "swell"), default="swell")
+    p.add_argument("--out", default=None, help="also write the JSON artifact here")
     args = p.parse_args(argv)
     counts = [int(c) for c in args.devices.split(",")]
     results = run_weak_scaling(counts, args.rows_per_device, args.avg_nnz, args.iters,
                                engine=args.engine)
-    print(json.dumps({"weak_scaling": results}))
+    import jax
+
+    doc = {
+        "weak_scaling": results,
+        "engine": args.engine,
+        "backend": jax.default_backend(),
+        "structural_only": jax.default_backend() != "tpu",
+        "note": ("virtual CPU mesh serializes device compute on one host: "
+                 "'efficiency' trends to 1/D by construction there; "
+                 "'serialized_efficiency' (D*T1/TD) is the structural gate"),
+    }
+    print(json.dumps(doc))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
     if len(results) >= 2:
-        return 0 if results[-1]["efficiency"] >= 0.5 else 1
+        gate = ("efficiency" if jax.default_backend() == "tpu"
+                else "serialized_efficiency")
+        return 0 if results[-1][gate] >= (0.75 if gate == "efficiency" else 0.5) else 1
     return 0
 
 
