@@ -97,6 +97,22 @@ def cg_solve(
         x0 = jnp.zeros_like(b)
     dot = lambda a, c: jnp.dot(a, c, preferred_element_type=a.dtype)
     chosen = pick_strategy(get_plan(csr), csr) if strategy == "adaptive" else strategy
+    # a swell-backed ILU(0) preconditioner carries its own plan arrays — plumb
+    # them through the jit as arguments too (same HTTP-413 hazard as the matvec)
+    from ..ops.trisolve import ILU0, sweep_apply_swell
+
+    pre_args = None
+    if isinstance(precond, ILU0) and precond.swell is not None and precond.sweeps > 0:
+        _sl, _su = precond.swell.statics_l, precond.swell.statics_u
+        _sw, _m = precond.sweeps, precond.l_plan.m
+        pre_args = precond.swell.args()
+
+        def _pre(args, r):
+            return sweep_apply_swell(_sl, _su, _sw, _m, args, r)
+
+    elif isinstance(precond, ILU0):
+        _solve = precond.solve
+        precond = lambda r: _solve(r)  # noqa: E731 — normalize to a callable
     if chosen == "swell":
         from ..ops.swell import _bucket_args, _interpret, _statics, get_swell_plan, swell_ax
 
@@ -107,13 +123,16 @@ def cg_solve(
         tol_a = jnp.asarray(tol, b.dtype)
 
         @jax.jit
-        def _run(bargs, tail, bb, xx0):
+        def _run(bargs, tail, pargs, bb, xx0):
             def matvec(v):
                 return swell_ax(bargs, tail, v, statics)[:m].astype(bb.dtype)
 
-            return _cg_loop(matvec, precond, bb, xx0, tol_a, max_iters, dot)
+            M = (lambda r: _pre(pargs, r)) if pargs is not None else precond
+            return _cg_loop(matvec, M, bb, xx0, tol_a, max_iters, dot)
 
-        return _run(_bucket_args(dp, interp), dp.tail, b, x0)
+        return _run(_bucket_args(dp, interp), dp.tail, pre_args, b, x0)
+    if pre_args is not None:
+        precond = lambda r: _pre(pre_args, r)  # noqa: E731 — eager path
 
     def matvec(v):
         return spmv(csr, v, strategy=chosen)

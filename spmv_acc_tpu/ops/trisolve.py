@@ -284,23 +284,85 @@ def trisolve_sweeps(plan: TriSolvePlan, b, sweeps: int):
 
 
 @dataclasses.dataclass(frozen=True)
+class SweepSwell:
+    """Swell-kernel backing for the Jacobi-sweep solves: each sweep's
+    ``N @ y`` rides the flagship SpMV kernel instead of XLA gather+segment_sum
+    (measured ~30-140 ns/element on TPU — at bench scale that makes one sweep
+    cost ~1000x the swell SpMV it preconditions).  Built by :func:`ilu0` for
+    factors above ``SPMV_TPU_ILU_SWELL_MIN`` off-diagonal nnz."""
+
+    statics_l: tuple
+    statics_u: tuple
+    bargs_l: tuple
+    tail_l: tuple
+    bargs_u: tuple
+    tail_u: tuple
+    inv_diag: jax.Array  # (m,) 1/diag(U)
+
+    def args(self):
+        """Device-array pytree — pass through jit as ARGUMENTS (closing over
+        it embeds hundreds of MB of slabs in the HLO; see models/cg.py)."""
+        return (self.bargs_l, self.tail_l, self.bargs_u, self.tail_u,
+                self.inv_diag)
+
+
+def sweep_apply_swell(statics_l, statics_u, sweeps, m, args, r):
+    """M^{-1} r via ``sweeps`` Jacobi sweeps per factor, N@y on the swell
+    kernels.  Matches :func:`trisolve_sweeps` semantics: y0 = b/D,
+    y <- (b - N y)/D."""
+    from .swell import swell_ax
+
+    bargs_l, tail_l, bargs_u, tail_u, inv_diag = args
+    dtype = r.dtype
+    inv = inv_diag.astype(dtype)
+
+    def nl(v):
+        return swell_ax(bargs_l, tail_l, v, statics_l)[:m].astype(dtype)
+
+    def nu(v):
+        return swell_ax(bargs_u, tail_u, v, statics_u)[:m].astype(dtype)
+
+    z = jax.lax.fori_loop(0, sweeps, lambda _, y: r - nl(y), r)
+    u0 = z * inv
+    return jax.lax.fori_loop(0, sweeps, lambda _, y: (z - nu(y)) * inv, u0)
+
+
+@dataclasses.dataclass(frozen=True)
 class ILU0:
     """Factorization handle: apply M^{-1} r via two triangular solves.
 
     ``sweeps`` > 0 makes both solves approximate Jacobi-sweep applications (the
     right shape for long dependency chains); 0 means exact chunk-scheduled
-    solves."""
+    solves.  ``swell`` (set by :func:`ilu0` on large factors) makes each sweep
+    ride the flagship swell kernel."""
 
     l_plan: TriSolvePlan
     u_plan: TriSolvePlan
     sweeps: int = 0
+    swell: Optional[SweepSwell] = None
 
     def solve(self, r):
+        if self.swell is not None and self.sweeps > 0:
+            return sweep_apply_swell(self.swell.statics_l, self.swell.statics_u,
+                                     self.sweeps, self.l_plan.m,
+                                     self.swell.args(), r)
         if self.sweeps > 0:
             z = trisolve_sweeps(self.l_plan, r, self.sweeps)
             return trisolve_sweeps(self.u_plan, z, self.sweeps)
         z = trisolve(self.l_plan, r)  # L z = r (unit lower)
         return trisolve(self.u_plan, z)  # U y = z
+
+
+def _strict_part_csr(rp, ci, lu, shape, lower: bool) -> CSR:
+    """CSR container of the strict triangular part of the combined LU values."""
+    m = shape[0]
+    rows_of = np.repeat(np.arange(m, dtype=np.int64), np.diff(rp))
+    mask = (ci < rows_of) if lower else (ci > rows_of)
+    counts = np.zeros(m, dtype=np.int64)
+    np.add.at(counts, rows_of[mask], 1)
+    nrp = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return CSR(jnp.asarray(nrp), jnp.asarray(ci[mask].astype(np.int32)),
+               jnp.asarray(lu[mask]), (m, shape[1]))
 
 
 def ilu0(csr: CSR, sweeps: Optional[int] = None) -> ILU0:
@@ -309,8 +371,16 @@ def ilu0(csr: CSR, sweeps: Optional[int] = None) -> ILU0:
     ``sweeps=None`` auto-picks: exact solves when both factors have few levels
     (wide level parallelism), else ``SPMV_TPU_ILU_SWEEPS`` (default 6) Jacobi
     sweeps per solve — the standard approximate-triangular-solve preconditioner
-    for chain-structured factors on wide-SIMD hardware."""
+    for chain-structured factors on wide-SIMD hardware.
+
+    Sweep solves on factors with >= ``SPMV_TPU_ILU_SWELL_MIN`` (default 2M)
+    off-diagonal nnz get a :class:`SweepSwell` backing: each sweep's N@y runs
+    on the flagship swell kernels instead of XLA gather/segment_sum (the
+    gather path costs ~30-140 ns/element on TPU — at bench scale one sweep
+    would cost ~1000x the SpMV being preconditioned)."""
     rp, ci, v, shape = csr.to_numpy()
+    rp = np.asarray(rp)
+    ci = np.asarray(ci)
     lu = ilu0_host(rp, ci, v, shape)
     l_plan = analyze_trisolve(rp, ci, lu, shape, lower=True, unit_diag=True)
     u_plan = analyze_trisolve(rp, ci, lu, shape, lower=False, unit_diag=False)
@@ -319,4 +389,21 @@ def ilu0(csr: CSR, sweeps: Optional[int] = None) -> ILU0:
                     and u_plan.rows_sorted is not None
                     and max(l_plan.num_iters, u_plan.num_iters) <= 512)
         sweeps = 0 if exact_ok else int(os.environ.get("SPMV_TPU_ILU_SWEEPS", "6"))
-    return ILU0(l_plan, u_plan, sweeps=sweeps)
+    swell = None
+    n_off = int(l_plan.dep_rows.shape[0] - _W) + int(u_plan.dep_rows.shape[0] - _W)
+    swell_min = int(os.environ.get("SPMV_TPU_ILU_SWELL_MIN", str(2_000_000)))
+    if sweeps > 0 and n_off >= swell_min:
+        from .swell import _bucket_args, _interpret, _statics, get_swell_plan
+
+        interp = _interpret()
+        csr_l = _strict_part_csr(rp, ci, lu, shape, lower=True)
+        csr_u = _strict_part_csr(rp, ci, lu, shape, lower=False)
+        dp_l = get_swell_plan(csr_l, lu.dtype)
+        dp_u = get_swell_plan(csr_u, lu.dtype)
+        swell = SweepSwell(
+            statics_l=_statics(dp_l, interp), statics_u=_statics(dp_u, interp),
+            bargs_l=_bucket_args(dp_l, interp), tail_l=dp_l.tail,
+            bargs_u=_bucket_args(dp_u, interp), tail_u=dp_u.tail,
+            inv_diag=jnp.asarray(1.0 / np.asarray(u_plan.diag)),
+        )
+    return ILU0(l_plan, u_plan, sweeps=sweeps, swell=swell)
