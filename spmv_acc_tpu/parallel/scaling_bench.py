@@ -30,10 +30,14 @@ def run_weak_scaling(device_counts, rows_per_device=32768, avg_nnz=16, iters=20,
     Efficiency metrics: ``efficiency`` is true weak-scaling parallel efficiency
     (per-device rate vs D=1) — meaningful ONLY on real multi-chip hardware.  On
     a virtual CPU mesh every "device" shares one host, so compute serializes
-    and this metric trends to 1/D by construction; there
-    ``serialized_efficiency`` = D*T(1)/T(D) is the structural gate: it stays
-    near 1.0 iff distribution adds no overhead beyond the serialized compute
-    (halo exchange, collectives, resharding all land in the <1-eff slack)."""
+    and this metric trends to 1/D by construction.  The structural gate there
+    is ``structural_efficiency`` = T_single(m_D)/T_dist(D, m_D): the SAME
+    matrix timed global-single-device vs distributed over D virtual devices —
+    near 1.0 iff distribution (out-window partitioning, halo exchange,
+    collectives) adds no overhead beyond the serialized compute.  (The naive
+    D*T(1)/T(D) cross-size ratio is NOT comparable: the packing's depth-bucket
+    mix changes with matrix size, e.g. banded-17 steps jump 24 -> 160 between
+    m=262144 and m=524288 while fill IMPROVES 0.833 -> 0.9.)"""
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +46,6 @@ def run_weak_scaling(device_counts, rows_per_device=32768, avg_nnz=16, iters=20,
     from ..formats.convert import coo_to_csr_arrays, csr_to_dense
     from ..parallel import make_mesh, partition_rows, shard_partitioned, pad_vector
     from ..models.cg import dist_cg_solve
-    from ..utils.timer import time_chained
     from .dist_spmv import dist_spmv_fn, dist_spmv_halo_fn, halo_feasible
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -84,24 +87,46 @@ def run_weak_scaling(device_counts, rows_per_device=32768, avg_nnz=16, iters=20,
                 flat = y.reshape(-1)[: d * x_pad]
                 return flat * (1.0 / jnp.maximum(jnp.max(jnp.abs(flat)), 1e-30))
 
-        per_us, _ = time_chained(step, x, iters=iters, baseline_iters=max(2, iters // 10))
+        # ONE on-device fori_loop program (CG-loop shape): eager per-iteration
+        # dispatch chains one rendezvous per program on the virtual CPU mesh
+        # and the in-process communicator's hard 40s terminate timeout kills
+        # D=8 runs (measured 2026-08-19); the device loop keeps the mesh
+        # threads in lockstep inside a single executable
+        from ..utils.timer import time_device_loop
+
+        per_us, _ = time_device_loop(step, x, iters=iters)
+        # structural reference: the SAME matrix, global single-device swell
+        single_us = None
+        if engine == "swell" and jax.default_backend() != "tpu":
+            from ..ops.swell import (_bucket_args, _interpret, _statics,
+                                     get_swell_plan, swell_ax)
+
+            dpg = get_swell_plan(csr, dtype)
+            interp = _interpret()
+            gargs, gst, gtail = _bucket_args(dpg, interp), _statics(dpg, interp), dpg.tail
+
+            def step1(v):
+                y = swell_ax(gargs, gtail, v, gst)[: csr.rows]
+                return y * (1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
+
+            v0 = jnp.ones((csr.rows,), dtype=csr.values.dtype)
+            single_us, _ = time_device_loop(step1, v0, iters=iters)
         rate = csr.nnz / (per_us * 1e-6) if per_us > 0 else 0.0
         per_dev = rate / d
         if base_rate is None:
             base_rate = per_dev
-            base_us = per_us
         eff = per_dev / base_rate if base_rate else 0.0
-        ser_eff = (d * base_us / per_us) if per_us > 0 else 0.0
-        results.append(
-            dict(devices=d, rows=m, nnz=csr.nnz, us_per_spmv=round(per_us, 1),
-                 nnz_per_s=round(rate), efficiency=round(eff, 4),
-                 serialized_efficiency=round(ser_eff, 4))
-        )
-        print(
-            f"D={d}: m={m} nnz={csr.nnz} {per_us:.0f}us/spmv "
-            f"{rate/1e6:.1f}M nnz/s eff={eff:.2%} ser_eff={ser_eff:.2%}",
-            file=sys.stderr,
-        )
+        row = dict(devices=d, rows=m, nnz=csr.nnz, us_per_spmv=round(per_us, 1),
+                   nnz_per_s=round(rate), efficiency=round(eff, 4))
+        msg = (f"D={d}: m={m} nnz={csr.nnz} {per_us:.0f}us/spmv "
+               f"{rate/1e6:.1f}M nnz/s eff={eff:.2%}")
+        if single_us is not None and per_us > 0:
+            st_eff = single_us / per_us
+            row["single_device_us"] = round(single_us, 1)
+            row["structural_efficiency"] = round(st_eff, 4)
+            msg += f" struct_eff={st_eff:.2%}"
+        results.append(row)
+        print(msg, file=sys.stderr)
     return results
 
 
@@ -126,16 +151,19 @@ def main(argv=None) -> int:
         "structural_only": jax.default_backend() != "tpu",
         "note": ("virtual CPU mesh serializes device compute on one host: "
                  "'efficiency' trends to 1/D by construction there; "
-                 "'serialized_efficiency' (D*T1/TD) is the structural gate"),
+                 "'structural_efficiency' (same matrix, single-device vs "
+                 "distributed wall time) is the structural gate"),
     }
     print(json.dumps(doc))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(doc, f, indent=1)
     if len(results) >= 2:
-        gate = ("efficiency" if jax.default_backend() == "tpu"
-                else "serialized_efficiency")
-        return 0 if results[-1][gate] >= (0.75 if gate == "efficiency" else 0.5) else 1
+        if jax.default_backend() == "tpu":
+            return 0 if results[-1]["efficiency"] >= 0.75 else 1
+        gate = [r.get("structural_efficiency") for r in results
+                if r.get("structural_efficiency") is not None]
+        return 0 if (gate and min(gate) >= 0.75) else 1
     return 0
 
 
