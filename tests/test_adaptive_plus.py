@@ -21,6 +21,7 @@ MATRICES = {
 
 
 @pytest.mark.parametrize("name", sorted(MATRICES))
+@pytest.mark.slow
 def test_adaptive_plus_f64_matches_golden(name):
     csr = MATRICES[name]()
     m, n = csr.shape

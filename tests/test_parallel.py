@@ -137,6 +137,7 @@ def test_dist_spmv_halo_infeasible_falls_back():
 
 
 @pytest.mark.parametrize("num_shards", [2, 4, 8])
+@pytest.mark.slow
 def test_dist_swell_spmv_matches_golden(num_shards):
     """Flagship-kernel distribution (parallel/dist_swell.py): the global swell
     plan partitioned by out-windows, swell_ax local compute inside shard_map,
@@ -165,6 +166,7 @@ def test_dist_swell_spmv_matches_golden(num_shards):
     assert rep.failed_count == 0, rep
 
 
+@pytest.mark.slow
 def test_dist_swell_cg_solve():
     """Mesh CG with swell local compute converges to a known solution."""
     from spmv_acc_tpu.formats.containers import CSR
@@ -226,6 +228,7 @@ def test_init_distributed_single_process():
     assert ctx.global_device_count == 8  # the virtual CPU mesh
 
 
+@pytest.mark.slow
 def test_dist_swell_halo_spmv_matches_golden():
     """1-hop halo dist-swell: shard x blocks of >= 2 chunks on a banded matrix
     make the per-shard chunk window fit the 3-block neighborhood, so the build

@@ -120,6 +120,7 @@ def test_zoo_dense_row_spill(strategy):
     assert rep.ok, f"{strategy}: {rep}"
 
 
+@pytest.mark.slow
 def test_make_spmv_fn_retrace_safe():
     """Strategy plan caches must hold real arrays, not tracers: wrapping the
     jitted fn in ANOTHER jit re-traces it, which dies with

@@ -127,6 +127,7 @@ def test_swell_long_row():
     assert rep.ok, rep
 
 
+@pytest.mark.slow
 def test_swell_fill_reporting():
     csr = banded_csr(300000, bandwidth=5, seed=81)
     dp = get_swell_plan(csr, np.float64)
@@ -196,6 +197,7 @@ def test_native_analyze_matches_numpy():
 
 
 @pytest.mark.parametrize("force", ["0", "1"])
+@pytest.mark.slow
 def test_packed_kernel_structure_interpret(force):
     """Run the PACKED TPU kernels in interpret mode against the native-dtype
     reference with a loose tolerance.  Interpret mode evaluates with excess
@@ -282,6 +284,7 @@ def test_plan_disk_cache_roundtrip(tmp_path, monkeypatch):
 
 
 @pytest.mark.parametrize("r_env,k", [("1", 2), ("2", 2)])
+@pytest.mark.slow
 def test_packed_kernel_structure_interpret_multirhs(r_env, k):
     """Packed-kernel structure guard for the MULTI-RHS (k>1) kernels, scalar and
     BSR: the packed _call_f64 with a k axis vs the native-dtype reference.

@@ -100,6 +100,7 @@ def test_condense_numpy_native_equivalence():
 @pytest.mark.parametrize("dtype", [np.float64, np.float32])
 @pytest.mark.parametrize("blk,m,nnz", [(3, 5000, 150000), (16, 2000, 300000),
                                        (4, 3001, 50000)])
+@pytest.mark.slow
 def test_bsr_spmv_golden(dtype, blk, m, nnz):
     """End-to-end spmv through the BSR plan vs host golden at the reference
     tolerance (rel 1e-7, cli/verification.cpp:43-54).  m=3001 exercises the
@@ -127,6 +128,7 @@ def test_bsr_spmv_golden(dtype, blk, m, nnz):
     assert ok.all(), f"max rel {rel.max()}"
 
 
+@pytest.mark.slow
 def test_bsr_matches_scalar_path():
     """Forced scalar and BSR plans must agree to f64 golden accuracy."""
     import os
