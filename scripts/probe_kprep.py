@@ -90,10 +90,13 @@ def make_kernel(log2d, wide, dual, classpos, dboth, kprep):
             if dual:
                 # gate on hasb too: long hasb==0 runs with stale/repeated cselb
                 # must not charge kprep for rebuilding an unused b-side block
-                # (advisor r2); production would skip that DMA+rebuild entirely
-                chg_b = jnp.logical_and(
-                    hasb_r[s] != 0,
-                    jnp.logical_or(s == 0, cselb_r[s] != cselb_r[sp]))
+                # (advisor r2); production would skip that DMA+rebuild entirely.
+                # s == 0 must STILL build unconditionally: uninitialized VMEM
+                # scratch can hold NaN bit patterns and 0 * NaN = NaN even
+                # under the zero one-hot (same hazard as the piped ts_refs).
+                chg_b = jnp.logical_or(
+                    s == 0,
+                    jnp.logical_and(hasb_r[s] != 0, cselb_r[s] != cselb_r[sp]))
 
                 @pl.when(chg_b)
                 def _():
