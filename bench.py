@@ -114,6 +114,8 @@ def emit(partial: bool):
         out["skipped"] = _STATE["skipped"]
     if _STATE["spmm"]:
         out["spmm_k8_speedup_geomean"] = round(geomean(_STATE["spmm"]), 2)
+    if _STATE.get("solver"):
+        out.update(_STATE["solver"])
     print(json.dumps(out), flush=True)
 
 
@@ -269,6 +271,85 @@ def bench_spmm(name: str, spmv_per_us: float, log):
     return speedup
 
 
+SOLVER_MATRIX = "Ga41As41H72"
+
+
+def bench_solver(log):
+    """Solver-path section (VERDICT r2 #6): ILU(0) economics on an SPD-ized
+    bench matrix — factor+plan time (the analyze phase, SpMVAccHanele
+    economics), per-apply cost as a multiple of one SpMV, and CG iteration
+    counts ILU vs Jacobi.  The sweep apply rides the swell kernels
+    (ops/trisolve.py SweepSwell).  Returns a dict merged into the result JSON."""
+    import numpy as np
+
+    from spmv_acc_tpu.formats.containers import CSR
+    from spmv_acc_tpu.formats.convert import coo_to_csr_arrays
+    from spmv_acc_tpu.models.cg import cg_solve, jacobi_preconditioner
+    from spmv_acc_tpu.ops.swell import _bucket_args, _statics, get_swell_plan, swell_ax
+    from spmv_acc_tpu.ops.trisolve import ilu0, sweep_apply_swell
+    from spmv_acc_tpu.utils.timer import time_device_loop
+
+    csr0 = example_like(SOLVER_MATRIX, dtype=DTYPE)
+    rp, ci, v, (m, _) = csr0.to_numpy()
+    rp = np.asarray(rp); ci = np.asarray(ci); v = np.asarray(v)
+    rr = np.repeat(np.arange(m, dtype=np.int64), np.diff(rp))
+    off = ci != rr
+    rr_s = np.concatenate([rr[off], ci[off], np.arange(m, dtype=np.int64)])
+    cc_s = np.concatenate([ci[off], rr[off], np.arange(m, dtype=np.int64)])
+    dom = np.zeros(m)
+    np.add.at(dom, rr[off], 0.5 * np.abs(v[off]))
+    np.add.at(dom, ci[off], 0.5 * np.abs(v[off]))
+    v_s = np.concatenate([0.5 * v[off], 0.5 * v[off], dom + 1.0])
+    rp2, ci2, v2 = coo_to_csr_arrays(rr_s, cc_s, v_s, (m, m))
+    csr = CSR.from_numpy(rp2, ci2, v2, (m, m))
+
+    t0 = time.perf_counter()
+    fact = ilu0(csr, sweeps=3)
+    t_factor = time.perf_counter() - t0
+
+    dp = get_swell_plan(csr, DTYPE)
+    bargs, st = _bucket_args(dp, False), _statics(dp, False)
+    x0 = jnp.ones((m,), jnp.float64)
+
+    def spmv_step(vv):
+        y = swell_ax(bargs, dp.tail, vv, st)[:m]
+        return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-30)
+
+    us_spmv, _ = time_device_loop(spmv_step, x0, iters=32)
+
+    us_apply = -1.0
+    if fact.swell is not None:
+        sw = fact.swell
+
+        def apply_step(vv):
+            z = sweep_apply_swell(sw.statics_l, sw.statics_u, fact.sweeps, m,
+                                  sw.args(), vv)
+            return z * jax.lax.rsqrt(jnp.mean(z * z) + 1e-30)
+
+        us_apply, _ = time_device_loop(apply_step, x0, iters=16)
+
+    rng = np.random.default_rng(5)
+    x_true = rng.standard_normal(m)
+    b = jnp.asarray(host_spmv(1.0, 0.0, rp2, ci2, v2, x_true, np.zeros(m)))
+    it_j = int(cg_solve(csr, b, tol=1e-8, max_iters=300, strategy="swell",
+                        precond=jacobi_preconditioner(csr)).iters)
+    it_i = int(cg_solve(csr, b, tol=1e-8, max_iters=300, strategy="swell",
+                        precond=fact).iters)
+    ratio = us_apply / us_spmv if us_spmv > 0 and us_apply > 0 else -1.0
+    print(f"  solver {SOLVER_MATRIX}-SPD: factor+plans {t_factor:.0f}s, "
+          f"spmv {us_spmv:.0f}us, ilu-apply({fact.sweeps} sweeps) {us_apply:.0f}us "
+          f"({ratio:.2f}x spmv), cg iters jacobi={it_j} ilu={it_i}",
+          file=log, flush=True)
+    return {
+        "solver_spmv_us": round(us_spmv, 1),
+        "solver_ilu_apply_us": round(us_apply, 1),
+        "solver_ilu_apply_vs_spmv": round(ratio, 2),
+        "solver_cg_iters_jacobi": it_j,
+        "solver_cg_iters_ilu": it_i,
+        "solver_factor_s": round(t_factor, 1),
+    }
+
+
 def _clear_device_caches():
     # evict per-matrix device plans — the corpus exceeds HBM if cached
     from spmv_acc_tpu import dispatch as _d
@@ -319,6 +400,14 @@ def main():
                 print(f"  spmm {name}: ERROR {type(e).__name__}: {e}", file=log, flush=True)
             finally:
                 _clear_device_caches()
+    if (time.perf_counter() - _T_START <= BUDGET_S
+            and os.environ.get("SPMV_TPU_BENCH_SOLVER", "1") != "0"):
+        try:
+            _STATE["solver"] = bench_solver(log)
+        except Exception as e:
+            print(f"  solver: ERROR {type(e).__name__}: {e}", file=log, flush=True)
+        finally:
+            _clear_device_caches()
     if not _STATE["results"]:
         print(json.dumps({"metric": "spmv_roofline_fraction", "value": 0.0, "unit": "fraction", "vs_baseline": 0.0}))
         return 1
