@@ -49,6 +49,7 @@ ENGINES = [
     # comparators (rocSPARSE/cuSPARSE/CUB/HOLA/merge-path/ACSR, benchmark/main.cpp:107-141):
     # speedup claims get a non-self-referential on-device denominator.
     ("jax-sparse-bcoo", "@bcoo"),
+    ("jax-sparse-bcsr", "@bcsr"),
     ("dense-mxu-anchor", "@dense_anchor"),
 ]
 
@@ -77,6 +78,40 @@ def _bench_bcoo(csr, x_np, y_np, alpha, beta, iters, warmups, dtype):
     np.asarray(out)
     step = lambda y: a * (mat @ dx) + 1.0 * y
     jstep = jax.jit(step)
+    reps = []
+    for _ in range(BENCHMARK_ARRAY_SIZE):
+        per_us, _ = time_chained(jstep, dy, iters=iters, baseline_iters=max(iters // 10, 2))
+        reps.append(per_us)
+    reps.sort()
+    return BenchTimes(calc=reps[len(reps) // 2]), np.asarray(fn(dx, dy))
+
+
+def _bench_bcsr(csr, x_np, y_np, alpha, beta, iters, warmups, dtype):
+    """jax.experimental.sparse BCSR matvec — third independent on-device
+    engine (the reference compares six: benchmark/main.cpp:107-141)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsparse
+
+    rp, ci, v, shape = csr.to_numpy()
+    mat = jsparse.BCSR(
+        (jnp.asarray(v.astype(dtype)), jnp.asarray(ci.astype(np.int32)),
+         jnp.asarray(rp.astype(np.int32))),
+        shape=shape,
+    )
+    dx = jnp.asarray(x_np)
+    dy = jnp.asarray(y_np)
+    a = jnp.asarray(alpha, dtype)
+    b = jnp.asarray(beta, dtype)
+
+    @jax.jit
+    def fn(xx, yy):
+        return a * (mat @ xx) + b * yy
+
+    for _ in range(warmups):
+        out = fn(dx, dy)
+    np.asarray(out)
+    jstep = jax.jit(lambda y: a * (mat @ dx) + 1.0 * y)
     reps = []
     for _ in range(BENCHMARK_ARRAY_SIZE):
         per_us, _ = time_chained(jstep, dy, iters=iters, baseline_iters=max(iters // 10, 2))
@@ -131,6 +166,9 @@ def bench_engine(name, strategy, csr, x_np, y_np, alpha, beta, iters, warmups, d
 
     if strategy == "@bcoo":
         times, out = _bench_bcoo(csr, x_np, y_np, alpha, beta, iters, warmups, dtype)
+        return times, verify_y(out, golden, dtype=dtype)
+    if strategy == "@bcsr":
+        times, out = _bench_bcsr(csr, x_np, y_np, alpha, beta, iters, warmups, dtype)
         return times, verify_y(out, golden, dtype=dtype)
     if strategy == "@dense_anchor":
         times, _ = _bench_dense_anchor(csr, x_np, y_np, alpha, beta, iters, warmups, dtype)

@@ -113,11 +113,12 @@ def test_benchmark_external_engines(csr_file, capsys):
     from spmv_acc_tpu.cli.benchmark import main as bench_main
 
     rc = bench_main([csr_file, "-f", "csr", "--iters", "3", "--warmups", "1",
-                     "--engines", "jax-sparse-bcoo,dense-mxu-anchor"])
+                     "--engines", "jax-sparse-bcoo,jax-sparse-bcsr,dense-mxu-anchor"])
     out = capsys.readouterr().out
     assert rc == 0
     lines = [l for l in out.splitlines()
              if l.startswith("PERFORMANCE,") and "matrix,strategy" not in l]
-    assert len(lines) == 2
-    bcoo = next(l for l in lines if "jax-sparse-bcoo" in l)
-    assert bcoo.split(",")[-2] == "0"  # failed_count
+    assert len(lines) == 3
+    for eng in ("jax-sparse-bcoo", "jax-sparse-bcsr"):
+        row = next(l for l in lines if eng in l)
+        assert row.split(",")[-2] == "0"  # failed_count
