@@ -40,7 +40,9 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_spmv")
+    from spmv_acc_tpu.config import cache_dir as _cdir
+
+    jax.config.update("jax_compilation_cache_dir", _cdir("jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass

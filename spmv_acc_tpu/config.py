@@ -63,3 +63,29 @@ class TuneConfig:
 
 
 DEFAULT_TUNE = TuneConfig()
+
+
+def cache_dir(kind: str) -> str:
+    """Disk-cache directory for ``kind`` (corpus / plans / jax).
+
+    Env override first (``SPMV_TPU_CORPUS_CACHE`` / ``SPMV_TPU_PLAN_CACHE_DIR``
+    / ``SPMV_TPU_JAX_CACHE``); otherwise a gitignored ``.cache/<kind>`` beside
+    the package.  The repo directory persists across driver rounds while /tmp
+    is wiped with the host — corpus generation + plan builds cost ~1-4 min per
+    large matrix cold, so repo-local caches cut the driver bench's cold-start
+    by ~20 min/round."""
+    import os
+
+    env = {"corpus": "SPMV_TPU_CORPUS_CACHE", "plans": "SPMV_TPU_PLAN_CACHE_DIR",
+           "jax": "SPMV_TPU_JAX_CACHE"}[kind]
+    v = os.environ.get(env)
+    if v:
+        return v
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = os.path.join(root, ".cache", kind)
+    try:
+        os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:  # read-only installs fall back to /tmp
+        return {"corpus": "/tmp/spmv_corpus", "plans": "/tmp/spmv_plans",
+                "jax": "/tmp/jax_cache_spmv"}[kind]

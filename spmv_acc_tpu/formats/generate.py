@@ -275,7 +275,9 @@ def example_like(name: str, seed: int = 7, dtype=np.float64, cache: bool = True)
     cache = cache and not os.environ.get("SPMV_TPU_NO_CORPUS_CACHE")
     path = None
     if cache:
-        cdir = os.environ.get("SPMV_TPU_CORPUS_CACHE", "/tmp/spmv_corpus")
+        from ..config import cache_dir
+
+        cdir = cache_dir("corpus")
         path = os.path.join(cdir, f"{name}_s{seed}.bin2")
         if os.path.exists(path):
             try:

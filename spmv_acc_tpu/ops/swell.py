@@ -1069,7 +1069,9 @@ def _plan_cache_path(rp, ci, v, shape, dtype):
         return None
     if _interpret() and not os.environ.get("SPMV_TPU_PLAN_CACHE"):
         return None
-    cdir = os.environ.get("SPMV_TPU_PLAN_CACHE_DIR", "/tmp/spmv_plans")
+    from ..config import cache_dir
+
+    cdir = cache_dir("plans")
     # FULL-coverage content hash.  A strided sample collided in practice
     # (same-pattern matrices with updated values hashed identically and the
     # cache silently served stale packed values); crc32 runs at ~GB/s, so the
