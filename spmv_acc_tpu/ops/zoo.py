@@ -133,27 +133,78 @@ def _reduce_staged(cols, vals, x, w):
 def spmv_thread_row(alpha, beta, csr, x, y, plan=None):
     """Row-per-lane (THREAD_ROW analog, hip-thread-row/thread_row.inl:17-98).
     Best when rows are uniformly ultra-short (the reference gates on avg<=4,
-    thread_row.cpp:17-49)."""
+    thread_row.cpp:17-49).
+
+    The reference's five opt levels are load-staging choices (wavefront/block
+    LDS staging, 2-wide unrolled loads, x-remap column reordering —
+    thread_row_config.h:8-28): on TPU the dense row-packed gather IS the staged
+    coalesced load, and the x-remap analog (a global column permutation) was
+    measured to LOSE fill on every matrix tried — see PERF_NOTES dead-ends and
+    scripts/colremap_fill.py (largebasis 0.507->0.428, Bump 0.513->0.377)."""
     cols, vals, tail = _row_packed(csr, 1)
     ax = _add_tail(_reduce_flat(cols, vals, x), tail, x, csr.rows)
     return axpby_finish(alpha, beta, ax, y)
 
 
+def _reduce_tree(cols, vals, x, w):
+    """Strided accumulation then a log-step pairwise fold — the `__shfl_down`
+    ladder analog (SHFL_DOWN_WF_REDUCE, src/acc/common/utils.h:38-59).  Same
+    value set as _reduce_staged in a different summation ORDER, exactly like
+    the reference's REG vs DEFAULT reduce variants."""
+    m, width = cols.shape
+    prod = (vals * x[cols]).reshape(m, width // w, w).sum(axis=1)
+    k = w
+    while k > 1:
+        k //= 2
+        prod = prod[:, :k] + prod[:, k : 2 * k]
+    return prod[:, 0]
+
+
+def _reduce_segsum(cols, vals, x, w):
+    """Materialized per-slot products reduced by row ids — the LDS shared-
+    memory tree analog (wavefront_row_lds.hpp:17-62): products hit 'memory'
+    (an XLA buffer) before a reduce-by-key pass."""
+    import jax
+
+    m, width = cols.shape
+    prod = (vals * x[cols]).reshape(-1)
+    rows = jnp.repeat(jnp.arange(m, dtype=jnp.int32), width)
+    return jax.ops.segment_sum(prod, rows, num_segments=m, indices_are_sorted=True)
+
+
+# the WF_REDUCE build-variant analog (reference config.cmake:30-34: DEFAULT
+# dpp / LDS tree / REG shfl ladder): same row-per-group assignment, three
+# reduction mechanisms with distinct summation orders
+_WF_REDUCERS = {"default": _reduce_staged, "reg": _reduce_tree,
+                "lds": _reduce_segsum}
+
+
+def _wf_reduce_mode():
+    import os
+
+    mode = os.environ.get("SPMV_TPU_WF_REDUCE", "default").lower()
+    return _WF_REDUCERS.get(mode, _reduce_staged)
+
+
 def spmv_wf_row(alpha, beta, csr, x, y, plan=None):
     """Row-per-sublane-group (WF_ROW analog, hip-wf-row/wavefront_row_default.hpp:48-92):
     each row's slots are strided over an 8-wide group, reduced in two stages like the
-    wavefront's strided loads + shuffle tree."""
+    wavefront's strided loads + shuffle tree.  `SPMV_TPU_WF_REDUCE` selects the
+    reduce variant (default / reg / lds) mirroring the `WF_REDUCE` build flag
+    (config.cmake:30-34)."""
     cols, vals, tail = _row_packed(csr, 8)
-    ax = _add_tail(_reduce_staged(cols, vals, x, 8), tail, x, csr.rows)
+    ax = _add_tail(_wf_reduce_mode()(cols, vals, x, 8), tail, x, csr.rows)
     return axpby_finish(alpha, beta, ax, y)
 
 
 def spmv_block_row(alpha, beta, csr, x, y, plan=None):
     """Row-per-VPU-row (BLOCK_ROW_ORDINARY analog,
     hip-block-row-ordinary/spmv_hip_acc_imp.cpp:16-75): all 128 lanes stride one row,
-    then a tree reduce — profitable only for long rows, exactly like the original."""
+    then a tree reduce — profitable only for long rows, exactly like the original.
+    Honors `SPMV_TPU_WF_REDUCE` like wf_row (the original's manual shared-memory
+    tree corresponds to the 'lds' variant)."""
     cols, vals, tail = _row_packed(csr, 128)
-    ax = _add_tail(_reduce_staged(cols, vals, x, 128), tail, x, csr.rows)
+    ax = _add_tail(_wf_reduce_mode()(cols, vals, x, 128), tail, x, csr.rows)
     return axpby_finish(alpha, beta, ax, y)
 
 

@@ -44,6 +44,24 @@ def test_strategy_matches_golden(matrix_name, strategy):
     assert rep.ok, f"{strategy} on {matrix_name}: {rep}"
 
 
+@pytest.mark.parametrize("mode", ["default", "reg", "lds"])
+@pytest.mark.parametrize("strategy", ["wf_row", "block_row"])
+def test_wf_reduce_variants_match_golden(strategy, mode, monkeypatch):
+    """The WF_REDUCE build-variant analog (reference config.cmake:30-34):
+    all three reduce mechanisms (staged / shfl-ladder tree / LDS segment-sum)
+    pass the golden gate on an irregular matrix."""
+    monkeypatch.setenv("SPMV_TPU_WF_REDUCE", mode)
+    csr = MATRICES["powerlaw"]()
+    m, n = csr.shape
+    x, y = random_x_y(n, m, seed=21)
+    alpha, beta = 0.75, 2.0
+    golden = host_spmv(alpha, beta, *csr.to_numpy()[:3], x, y)
+    out = spmv(csr, jnp.asarray(x), jnp.asarray(y), alpha=alpha, beta=beta,
+               strategy=strategy)
+    rep = verify_y(np.asarray(out), golden)
+    assert rep.ok, f"{strategy}[{mode}]: {rep}"
+
+
 @pytest.mark.parametrize("matrix_name", sorted(MATRICES))
 def test_adaptive_matches_golden(matrix_name):
     csr = MATRICES[matrix_name]()
