@@ -82,3 +82,17 @@ def test_roofline_fraction_monotone():
     f_fast = roofline_fraction(1000, 100000, time_us=10.0, peak_gbs=819.0)
     f_slow = roofline_fraction(1000, 100000, time_us=100.0, peak_gbs=819.0)
     assert f_fast > f_slow > 0
+
+
+def test_cache_dir_env_override_and_repo_local(monkeypatch, tmp_path):
+    """cache_dir: env override wins; default is a repo-local .cache/<kind>
+    (persists across driver rounds, unlike /tmp)."""
+    from spmv_acc_tpu.config import cache_dir
+
+    monkeypatch.setenv("SPMV_TPU_CORPUS_CACHE", str(tmp_path / "c"))
+    assert cache_dir("corpus") == str(tmp_path / "c")
+    monkeypatch.delenv("SPMV_TPU_CORPUS_CACHE", raising=False)
+    d = cache_dir("corpus")
+    import os
+
+    assert d.endswith(os.path.join(".cache", "corpus")) and os.path.isdir(d)
