@@ -273,7 +273,7 @@ def bench_spmm(name: str, spmv_per_us: float, log):
     return speedup
 
 
-SOLVER_MATRIX = "Ga41As41H72"
+SOLVER_MATRIX = os.environ.get("SPMV_TPU_BENCH_SOLVER_MATRIX", "Ga41As41H72")
 
 
 def bench_solver(log):
@@ -287,7 +287,8 @@ def bench_solver(log):
     from spmv_acc_tpu.formats.containers import CSR
     from spmv_acc_tpu.formats.convert import coo_to_csr_arrays
     from spmv_acc_tpu.models.cg import cg_solve, jacobi_preconditioner
-    from spmv_acc_tpu.ops.swell import _bucket_args, _statics, get_swell_plan, swell_ax
+    from spmv_acc_tpu.ops.swell import (_bucket_args, _interpret, _statics,
+                                        get_swell_plan, swell_ax)
     from spmv_acc_tpu.ops.trisolve import ilu0, sweep_apply_swell
     from spmv_acc_tpu.utils.timer import time_device_loop
 
@@ -310,7 +311,8 @@ def bench_solver(log):
     t_factor = time.perf_counter() - t0
 
     dp = get_swell_plan(csr, DTYPE)
-    bargs, st = _bucket_args(dp, False), _statics(dp, False)
+    interp = _interpret()  # CPU testability; False on the real TPU
+    bargs, st = _bucket_args(dp, interp), _statics(dp, interp)
     x0 = jnp.ones((m,), jnp.float64)
 
     def spmv_step(vv):
