@@ -122,3 +122,23 @@ def test_benchmark_external_engines(csr_file, capsys):
     for eng in ("jax-sparse-bcoo", "jax-sparse-bcsr"):
         row = next(l for l in lines if eng in l)
         assert row.split(",")[-2] == "0"  # failed_count
+
+
+def test_solve_cli(csr_file, capsys):
+    """spmv-solve: preconditioned CG end-to-end from a matrix file."""
+    from spmv_acc_tpu.cli.solve import main as solve_main
+
+    rc = solve_main([csr_file, "-f", "csr", "--precond", "jacobi",
+                     "--strategy", "line"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Congratulation, solution verified!" in out
+
+
+def test_solve_cli_ilu0(csr_file, capsys):
+    from spmv_acc_tpu.cli.solve import main as solve_main
+
+    rc = solve_main([csr_file, "-f", "csr", "--precond", "ilu0", "--sweeps", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "cg[ilu0]" in out and "verified" in out
