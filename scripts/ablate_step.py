@@ -252,7 +252,7 @@ def call_ab(ba, chunks, log2d, wide, dual, classpos, nout, ab):
         (_cp, _cbp, _hbp, csel, cselb, hasb, osel, first, _ohs, packed,
          touched) = ba
     else:
-        csel, cselb, hasb, osel, first, packed, touched = ba
+        csel, cselb, hasb, osel, first, packed, touched = ba[:7]
     nsteps = packed.shape[0]
     in_specs = [
         pl.BlockSpec((1, packed.shape[1], 128),

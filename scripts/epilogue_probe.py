@@ -54,7 +54,7 @@ def loop_kernels(bargs, xx, nn):
                 (cp, cbp, hbp, cn, cbn, hbn, osel, first, ohs, packed, touched) = ba
                 csel, cselb, hasb = (cp, cbp, hbp) if use_pipe else (cn, cbn, hbn)
             else:
-                csel, cselb, hasb, osel, first, packed, touched = ba
+                csel, cselb, hasb, osel, first, packed, touched = ba[:7]
             o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
                           log2d, wide, nout, False, dual, classpos,
                           ohs=ohs, pipe=use_pipe)

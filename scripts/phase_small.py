@@ -57,7 +57,7 @@ def main():
     x, _ = random_x_y(n, m, seed=42, dtype=np.float64)
     dx = jnp.asarray(x)
     (is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe,
-     dboths) = st
+     dboths, fuseds) = st
     print(f"{name}: rows={m} nnz={csr.nnz} buckets={len(bargs)} "
           f"steps={dp.plan.total_steps} nout={nout} nchunks={nchunks} "
           f"tail={dp.plan.tail_rows.shape[0]}")

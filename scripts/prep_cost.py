@@ -74,7 +74,7 @@ def _swell_from_chunks(bargs, tail, ch):
     # replicate swell_ax's TPU bucket chain with chunks already built
     from spmv_acc_tpu.ops import swell as S
     (is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe,
-     dboths) = st
+     dboths, _fuseds) = st
     order = sorted(range(len(bargs)), key=lambda i: not log2ds[i][4])
     acc = None
     if not log2ds[order[0]][4]:

@@ -345,7 +345,7 @@ def main():
         if len(ba) == 11:
             ba7 = (ba[3], ba[4], ba[5], ba[6], ba[7], ba[9], ba[10])
         else:
-            ba7 = ba
+            ba7 = ba[:7]
         nsteps = ba7[5].shape[0]
         W = ba7[5].shape[1]
         fa, n2, n_dummy = pair_steps(*ba7[:6])

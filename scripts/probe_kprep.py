@@ -166,7 +166,7 @@ def call_v(ba, chunks, log2d, wide, dual, classpos, dboth, nout, kprep):
         (_cp, _cbp, _hbp, csel, cselb, hasb, osel, first, _ohs, packed,
          _touched) = ba
     else:
-        csel, cselb, hasb, osel, first, packed, _touched = ba
+        csel, cselb, hasb, osel, first, packed, _touched = ba[:7]
     nsteps = packed.shape[0]
     in_specs = [
         pl.BlockSpec((1, packed.shape[1], 128), lambda s, *_: (s, _Z, _Z)),

@@ -62,7 +62,7 @@ def main():
                 (cp, cbp, hbp, cn, cbn, hbn, osel, first, ohs, packed, touched) = ba
                 csel, cselb, hasb = (cp, cbp, hbp) if use_pipe else (cn, cbn, hbn)
             else:
-                csel, cselb, hasb, osel, first, packed, touched = ba
+                csel, cselb, hasb, osel, first, packed, touched = ba[:7]
 
             def body(i, c):
                 ch = jnp.concatenate(

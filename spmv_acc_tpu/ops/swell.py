@@ -615,6 +615,182 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
     return kernel
 
 
+def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
+                       is64: bool, acc: int = 0, dboth: bool = False):
+    """VERTICAL STEP FUSION (r=1, k=1): two same-(out,chunk) steps per grid
+    iteration.  The swell step is chain-latency bound (~900ns chain vs ~400ns
+    max unit; PERF_NOTES) and Mosaic neither overlaps compute across grid steps
+    nor interleaves independent chains — but a TALL op is a single instruction:
+    stacking the pair's operands along sublanes ((256,128) VPU ops, ONE taller
+    table matmul per side, (2,128,128) folds) pays each stage's latency once
+    per pair.  Measured (scripts/probe_fuse2.py, boneS10): D=8 row-packed
+    805 -> 642 ns/orig-step (-20%) at 90% pair rate; bit-identical outputs
+    (the in-kernel 2Sum chaining of the two halves reproduces two consecutive
+    grid steps' accumulation exactly).  Unpaired steps carry an all-zero dummy
+    half (exact zeros through products, tables, occupancy and scatter), so
+    fusion pays off only at high pair rates — gated per bucket by
+    `_fuse_gain`.  Dual buckets must be dboth (no 3-way pl.when build)."""
+    P, boff, ohw, nval, W = _packed_rows(log2d, is64, wide, 1)
+    D = 1 << log2d
+    nrows_t = boff + P if wide else P
+    owidth = (2 if is64 else 1) * ROUT
+
+    def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
+               *rest):
+        rest = list(rest)
+        chunkb_ref = rest.pop(0) if dual else None
+        acc_ref = rest.pop(0) if acc else None
+        o_ref = rest.pop(0)
+        s = pl.program_id(0)
+        buf = packed_ref[0]  # (2W, 128)
+        bA = buf[:W]
+        bB = buf[W:]
+        f32 = lambda rows: jax.lax.bitcast_convert_type(rows, jnp.float32)  # noqa: E731
+        vh = jnp.concatenate([f32(bA[:128]), f32(bB[:128])], 0)  # (256,128)
+        if is64:
+            vl = jnp.concatenate([f32(bA[128:256]), f32(bB[128:256])], 0)
+        idx = jnp.concatenate(
+            [_unpack_bytes(bA[nval : nval + 32], 128),
+             _unpack_bytes(bB[nval : nval + 32], 128)], 0)
+        ohA = _unpack_bytes(bA[nval + 32 : nval + 32 + ohw], 4 * ohw)[:nrows_t]
+        ohB = _unpack_bytes(bB[nval + 32 : nval + 32 + ohw], 4 * ohw)[:nrows_t]
+        oh2 = jnp.concatenate([ohA, ohB], 0)  # (2*nrows_t, 128)
+        ca = chunk_ref[0]
+        cb = chunkb_ref[0] if dual else None
+        bases = [0, 3] if is64 else [0]
+        if dual:  # dboth: unconditional both-sides build, ONE taller matmul/side
+            sw = (_dot1((oh2 & 1).astype(jnp.bfloat16), ca)
+                  + _dot1((oh2 >> 1).astype(jnp.bfloat16), cb))
+        else:
+            sw = _dot1(oh2.astype(jnp.bfloat16), ca)
+        sets = _assemble_sets(sw, bases)
+
+        def ex2(t):  # stacked per-half table expansion -> (256,128) operands
+            a = _expand_tile(t[:P], D, P)
+            b = _expand_tile(t[nrows_t : nrows_t + P], D, P)
+            main = jnp.concatenate([a, b], 0)
+            if not wide:
+                return main, None
+            a2 = _expand_tile(t[boff : boff + P], D, P)
+            b2 = _expand_tile(t[nrows_t + boff : nrows_t + boff + P], D, P)
+            return main, jnp.concatenate([a2, b2], 0)
+
+        tha, thb = ex2(sets[0])
+        gh = _gather_sel(tha, thb, idx) if wide else _lane_gather(tha, idx)
+        p = vh * gh
+        if is64:
+            tla, tlb = ex2(sets[1])
+            gl = _gather_sel(tla, tlb, idx) if wide else _lane_gather(tla, idx)
+            bh, bl = _split(gh)
+            ah, al = _split(vh)
+            e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+            e = e + (vh * gl + (vl * gh + vl * gl))
+            e3 = e.reshape(2, 128, 128)
+        p3 = p.reshape(2, 128, 128)
+        for _lv in range(log2d):
+            half = p3.shape[1] // 2
+            a, b = p3[:, :half], p3[:, half:]
+            ssum = a + b
+            if is64:
+                bb = ssum - a
+                err = (a - (ssum - bb)) + (b - bb)
+                e3 = e3[:, :half] + e3[:, half:] + err
+            p3 = ssum
+        halves_p = [p3[0], p3[1]]
+        halves_e = [e3[0], e3[1]] if is64 else [None, None]
+        if classpos and log2d == 0:
+            pass
+        elif classpos:
+            for h, boffset in enumerate((0, W)):
+                occ = buf[boffset + nval + 33 + ohw : boffset + nval + 34 + ohw]
+                mk = _mask_col(occ)
+                halves_p[h] = _expand_tile(halves_p[h], D, P) * mk
+                if is64:
+                    halves_e[h] = _expand_tile(halves_e[h], D, P) * mk
+        else:
+            for h, boffset in enumerate((0, W)):
+                rb = buf[boffset + nval + 32 + ohw : boffset + nval + 33 + ohw]
+                tensors = (halves_p[h], halves_e[h]) if is64 else (halves_p[h],)
+                outs = _scatter_exact(rb, tensors, P)
+                halves_p[h] = outs[0]
+                if is64:
+                    halves_e[h] = outs[1]
+        pA, pB = halves_p
+        eA, eB = halves_e
+        first = first_r[s]
+
+        @pl.when(first == 1)
+        def _():
+            if is64:
+                if acc == 2:
+                    cur = acc_ref[0, :ROUT]
+                    s1 = cur + pA
+                    b1 = s1 - cur
+                    e1 = (cur - (s1 - b1)) + (pA - b1)
+                    s2 = s1 + pB
+                    b2 = s2 - s1
+                    e2 = (s1 - (s2 - b2)) + (pB - b2)
+                    o_ref[0, :ROUT] = s2
+                    o_ref[0, ROUT:] = ((acc_ref[0, ROUT:] + eA + e1) + eB) + e2
+                else:
+                    # half A initializes, half B chains — identical rounding to
+                    # two consecutive production steps
+                    ssum = pA + pB
+                    bb = ssum - pA
+                    err = (pA - (ssum - bb)) + (pB - bb)
+                    o_ref[0, :ROUT] = ssum
+                    o_ref[0, ROUT:] = eA + eB + err
+            else:
+                if acc == 2:
+                    o_ref[0, :ROUT] = acc_ref[0, :ROUT] + pA + pB
+                else:
+                    o_ref[0, :ROUT] = pA + pB
+
+        @pl.when(first == 0)
+        def _():
+            if is64:
+                cur = o_ref[0, :ROUT]
+                s1 = cur + pA
+                b1 = s1 - cur
+                e1 = (cur - (s1 - b1)) + (pA - b1)
+                s2 = s1 + pB
+                b2 = s2 - s1
+                e2 = (s1 - (s2 - b2)) + (pB - b2)
+                o_ref[0, :ROUT] = s2
+                o_ref[0, ROUT:] = ((o_ref[0, ROUT:] + eA + e1) + eB) + e2
+            else:
+                o_ref[0, :ROUT] = o_ref[0, :ROUT] + pA + pB
+
+    return kernel
+
+
+def _fuse_gain(csel, cselb, osel, first, classpos):
+    """Pairing stats + modeled gain for vertical step fusion.
+
+    Measured fused-iter/prod-step cost ratios (probe_fuse2, boneS10): ~1.61-1.70
+    on classpos buckets, ~1.45 row-packed.  A pair saves (2 - r) step-units;
+    an unpaired step (zero dummy half) wastes (r - 1).  Returns
+    (gain_in_step_units, pair_order) where pair_order lists original step
+    indices with -1 marking dummy halves."""
+    n = len(osel)
+    order = []
+    npairs = nsingle = 0
+    i = 0
+    while i < n:
+        if (i + 1 < n and csel[i + 1] == csel[i] and cselb[i + 1] == cselb[i]
+                and osel[i + 1] == osel[i] and first[i + 1] == 0):
+            order += [i, i + 1]
+            npairs += 1
+            i += 2
+        else:
+            order += [i, -1]
+            nsingle += 1
+            i += 1
+    rr = 1.65 if classpos else 1.45
+    gain = npairs * (2.0 - rr) - nsingle * (rr - 1.0)
+    return gain, order
+
+
 # ----------------------------------------------------------------- wrappers
 #
 # Two execution paths:
@@ -776,6 +952,47 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, r * k * ROUT, 128), jnp.float32),
         interpret=interpret,
+        input_output_aliases=io_alias,
+    )(*args)
+
+
+def _call_fused(csel2, cselb2, hasb2, osel2, first2, packed_f, chunks, log2d,
+                wide, nout, is64, dual, classpos, acc=None, acc_mode=0,
+                dboth=False):
+    """Vertical-step-fusion call: ``packed_f`` is the PAIR-ALIGNED padded
+    bucket buffer (n_f, W, 128); the fused grid reinterprets it as
+    (n_f/2, 2W, 128) — one reshape, no copy, and the same buffer still serves
+    the unfused/SpMM kernels."""
+    n2 = csel2.shape[0]
+    W = packed_f.shape[1]
+    packed2 = packed_f.reshape(n2, 2 * W, 128)
+    owidth = (2 if is64 else 1) * ROUT
+    in_specs = [
+        pl.BlockSpec((1, 2 * W, 128), lambda s, *_: (s, _Z, _Z)),
+        pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
+                     lambda s, csel, *_: (csel[s], _Z, _Z)),
+    ]
+    if dual:
+        in_specs.append(pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
+                                     lambda s, csel, cselb, *_: (cselb[s], _Z, _Z)))
+    io_alias = {}
+    if acc_mode:
+        in_specs.append(_acc_spec(owidth, acc_mode))
+        io_alias = {5 + len(in_specs) - 1: 0}
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n2,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, owidth, 128),
+                               lambda s, csel, cselb, hasb, osel, *_:
+                               (osel[s], _Z, _Z)),
+    )
+    args = ((csel2, cselb2, hasb2, osel2, first2, packed2, chunks)
+            + ((chunks,) if dual else ()) + ((acc,) if acc_mode else ()))
+    return pl.pallas_call(
+        _make_fused_kernel(log2d, wide, dual, classpos, is64, acc_mode, dboth),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nout, owidth, 128), jnp.float32),
         input_output_aliases=io_alias,
     )(*args)
 
@@ -942,7 +1159,52 @@ class _DeviceSwellPlan:
                 first=jnp.asarray(nb["first"]),
                 touched=jnp.asarray(nb["touched"]),
             )
-            if self.r == 1:
+            fuse_order = None
+            if self.r == 1 and not os.environ.get("SPMV_TPU_NO_FUSE"):
+                # vertical step fusion (see _make_fused_kernel): eligible when
+                # dual buckets build both sides unconditionally (dboth) and the
+                # modeled pair gain clears a margin; the bucket arrays are then
+                # PAIR-ALIGNED (zero dummy halves pad odd runs) and replace the
+                # pipe transform — fusion's measured -20% on high-pair-rate
+                # buckets dominates the piped builds' -3..6%
+                eligible = (not b["dual"]) or b["dfrac"] >= float(
+                    os.environ.get("SPMV_TPU_DBOTH_FRAC", "0.34"))
+                n_orig = len(nb["osel"])
+                if eligible and n_orig >= 16:
+                    gain, order = _fuse_gain(
+                        np.asarray(nb["csel"]), np.asarray(nb["cselb"]),
+                        np.asarray(nb["osel"]), np.asarray(nb["first"]),
+                        b["classpos"])
+                    if gain > 0.05 * n_orig:
+                        fuse_order = np.asarray(order)
+            if fuse_order is not None:
+                b["orig"] = (b["csel"], b["cselb"], b["hasb"], b["osel"],
+                             b["first"])
+                src = fuse_order.copy()
+                dummy = src < 0
+                src[dummy] = src[np.flatnonzero(dummy) - 1]
+                packed_pad = nb["packed"][src]
+                packed_pad[dummy] = 0
+                cs_p = np.asarray(nb["csel"])[src]
+                cb_p = np.asarray(nb["cselb"])[src]
+                hb_p = np.asarray(nb["hasb"])[src].copy()
+                hb_p[dummy] = 0
+                os_p = np.asarray(nb["osel"])[src]
+                fi_p = np.asarray(nb["first"])[src].copy()
+                fi_p[dummy] = 0
+                b["packed"] = jnp.asarray(packed_pad)
+                b["csel"] = jnp.asarray(cs_p)
+                b["cselb"] = jnp.asarray(cb_p)
+                b["hasb"] = jnp.asarray(hb_p)
+                b["osel"] = jnp.asarray(os_p)
+                b["first"] = jnp.asarray(fi_p)
+                b["csel2"] = jnp.asarray(cs_p[::2])
+                b["cselb2"] = jnp.asarray(cb_p[::2])
+                b["hasb2"] = jnp.asarray(np.maximum(hb_p[::2], hb_p[1::2]))
+                b["osel2"] = jnp.asarray(os_p[::2])
+                b["first2"] = jnp.asarray(fi_p[::2])
+                b["fuse"] = True
+            elif self.r == 1:
                 # Software-pipelined table builds (r=1 kernels).  A zero-value
                 # DUMMY step is prepended so EVERY real step's tables are built
                 # unconditionally by its predecessor (no pl.when around the
@@ -1241,6 +1503,14 @@ def _bucket_args(dp: _DeviceSwellPlan, interp: bool):
                     b["touched"],
                 )
             out.append(b["interp_args"])
+        elif b.get("fuse"):
+            # r == 1 pair-aligned bucket: fields [:7] are the padded arrays
+            # (runnable by the unfused/SpMM kernels — dummy halves are exact
+            # zeros), [7:12] the stride-2 fused selectors
+            out.append((b["csel"], b["cselb"], b["hasb"], b["osel"], b["first"],
+                        b["packed"], b["touched"],
+                        b["csel2"], b["cselb2"], b["hasb2"], b["osel2"],
+                        b["first2"]))
         elif "ohs" in b:
             # r == 1: pipe (shifted) + nonpipe selector sets, shared big arrays
             out.append((b["csel_p"], b["cselb_p"], b["hasb_p"],
@@ -1270,6 +1540,11 @@ def _statics(dp: _DeviceSwellPlan, interp: bool):
         dp.r,
         pipe,
         tuple(bool(b["dual"]) and b.get("dfrac", 0.0) >= dbf
+              for b in dp.buckets),
+        # vertical step fusion per bucket: pair-aligned arrays must exist AND
+        # dual buckets must (still) be dboth under the current env
+        tuple(bool(b.get("fuse")) and not os.environ.get("SPMV_TPU_NO_FUSE")
+              and ((not b["dual"]) or b.get("dfrac", 0.0) >= dbf)
               for b in dp.buckets),
     )
 
@@ -1425,7 +1700,7 @@ def _prep_x_pure(x, nchunks, is64, native, delta=0, r=1, k=1):
 def swell_ax(bargs, tail, x, statics):
     """Pure A@x over the swell plan; safe to trace inside any outer jit/loop."""
     (is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe,
-     dboths) = statics
+     dboths, fuseds) = statics
     out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
     if not bargs:
         y = jnp.zeros((rows,), out_dt)
@@ -1466,13 +1741,21 @@ def swell_ax(bargs, tail, x, statics):
             log2d, wide, dual, classpos, allout = log2ds[i]
             dboth = dboths[i]
             mode = 2 if j > 0 else (1 if acc is not None else 0)
+            if len(ba) == 12 and fuseds[i]:
+                # vertical step fusion: two steps per grid iteration on the
+                # pair-aligned arrays (see _make_fused_kernel)
+                acc = _call_fused(ba[7], ba[8], ba[9], ba[10], ba[11], ba[5],
+                                  chunks, log2d, wide, nout, is64, dual,
+                                  classpos, acc=acc, acc_mode=mode, dboth=dboth)
+                continue
             ohs = None
             # branched-build dual buckets keep the unpiped path: their 3-way
             # pl.when build pays Mosaic's matmul-predication tax twice when
             # pipelined (measured +5.5% on dual-heavy Bump_2911 vs -4% on
             # boneS10).  dboth buckets build unconditionally, so they pipe.
             # Tiny buckets skip it too (the dummy step doubles a 1-step bucket).
-            pipe_b = pipe and (not dual or dboth) and ba[-2].shape[0] >= 9
+            pipe_b = (pipe and len(ba) == 11 and (not dual or dboth)
+                      and ba[-2].shape[0] >= 9)
             if len(ba) == 11:
                 # pick the PIPE-shifted or nonpipe selector set (same big arrays)
                 (csel_p, cselb_p, hasb_p, csel_n, cselb_n, hasb_n, osel, first,
@@ -1480,7 +1763,10 @@ def swell_ax(bargs, tail, x, statics):
                 csel, cselb, hasb = ((csel_p, cselb_p, hasb_p) if pipe_b
                                      else (csel_n, cselb_n, hasb_n))
             else:
-                csel, cselb, hasb, osel, first, packed, touched = ba
+                # 7-field plain bucket, or a pair-aligned (12-field) bucket with
+                # fusion disabled at trace time — the padded arrays run the
+                # unfused kernels bit-identically (dummy halves are exact zeros)
+                csel, cselb, hasb, osel, first, packed, touched = ba[:7]
             call = _call_f64 if is64 else _call_f32
             acc = call(csel, cselb, hasb, osel, first, packed, chunks,
                        log2d, wide, nout, False, dual, classpos, r,
@@ -1515,7 +1801,7 @@ def swell_amx(bargs, tail, X, statics, k):
     so the dominant DMA bytes of SpMV amortize k-fold.  Layout mirrors
     ``swell_ax`` with an extra leading k axis on the output tiles."""
     (is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe,
-     dboths) = statics
+     dboths, _fuseds) = statics
     out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
     if not bargs:
         y = jnp.zeros((rows, k), out_dt)
@@ -1528,7 +1814,10 @@ def swell_amx(bargs, tail, X, statics, k):
                 (_cp, _cbp, _hbp, csel, cselb, hasb, osel, first,
                  _ohs, packed, touched) = ba
             elif not interp:
-                csel, cselb, hasb, osel, first, packed, touched = ba
+                # 7-field plain bucket or 12-field pair-aligned bucket: the
+                # k>1 kernels run the padded arrays unfused (dummy halves are
+                # exact zeros)
+                csel, cselb, hasb, osel, first, packed, touched = ba[:7]
             if interp:
                 csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
                 o = _call_native_interp_r(csel, cselb, hasb, osel, first, vals,

@@ -106,8 +106,10 @@ def build_dist_swell(csr: CSR, num_shards: int, dtype=None) -> DistSwellPlan:
     log2ds = tuple((l2d, wide, dual, cpos, False) for (l2d, wide, dual, cpos, _a) in st[8])
     # pipe=False: the localized per-shard step slices do not carry the
     # own/hasbn/ohs pipelining arrays (the kernels fall back to in-step builds)
+    # pipe/fusion both off: the localized per-shard step slices carry neither
+    # the ohs pipelining arrays nor the pair-aligned fused selectors
     statics = (st[0], st[1], K, st[3], st[4], st[5], rows_local, st[7], log2ds, st[9],
-               False, st[11])
+               False, st[11], (False,) * len(log2ds))
     names_tpu = ("csel", "cselb", "hasb", "osel", "first", "packed", "touched")
     names_tpu11 = ("csel_p", "cselb_p", "hasb_p", "csel", "cselb", "hasb",
                    "osel", "first", "ohs", "packed", "touched")
@@ -223,7 +225,7 @@ def dist_swell_halo_spmv_fn(dsp: DistSwellPlan, mesh: Mesh, axis: str = "x"):
     offs = jnp.asarray((off_raw + PL).astype(np.int32))
     # window statics: Wc chunks, delta already folded into the slice offset
     statics = (st[0], st[1], st[2], Wc, st[4], st[5], st[6], 0, st[8], st[9], False,
-               st[11])
+               st[11], (False,) * len(st[8]))
     flat, treedef = jax.tree_util.tree_flatten((dsp.bucket_args, dsp.tail))
     nb = len(flat)
     right = [(s, s + 1) for s in range(D - 1)]  # block s -> shard s+1 (left halo)
