@@ -764,21 +764,48 @@ def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
     return kernel
 
 
-def _fuse_gain(csel, cselb, osel, first, classpos):
+def _fuse_gain(csel, cselb, hasb, osel, first, classpos, dual):
     """Pairing stats + modeled gain for vertical step fusion.
 
     Measured fused-iter/prod-step cost ratios (probe_fuse2, boneS10): ~1.61-1.70
     on classpos buckets, ~1.45 row-packed.  A pair saves (2 - r) step-units;
-    an unpaired step (zero dummy half) wastes (r - 1).  Returns
-    (gain_in_step_units, pair_order) where pair_order lists original step
-    indices with -1 marking dummy halves."""
+    an unpaired step (zero dummy half) wastes (r - 1).
+
+    Selector relaxation (dual/dboth buckets): a pure-a step's cselb is a
+    sticky-filled DON'T-CARE (its b-side one-hot bits are zero, so the dboth
+    build multiplies whatever chunk-b block by exact zeros) and symmetrically
+    a pure-b step's csel — pairing may REWRITE the unused selector to match
+    the partner, raising pair rates well past what the Belady sticky fill
+    leaves.  Returns (gain, pair_order, csel_fix, cselb_fix) where pair_order
+    lists original step indices (-1 = dummy half) and the fix dicts map step
+    index -> rewritten selector value."""
     n = len(osel)
     order = []
+    csel_fix = {}
+    cselb_fix = {}
     npairs = nsingle = 0
     i = 0
     while i < n:
-        if (i + 1 < n and csel[i + 1] == csel[i] and cselb[i + 1] == cselb[i]
-                and osel[i + 1] == osel[i] and first[i + 1] == 0):
+        ok = False
+        if i + 1 < n and osel[i + 1] == osel[i] and first[i + 1] == 0:
+            uses_a = (hasb[i] != 2, hasb[i + 1] != 2)
+            uses_b = (hasb[i] != 0, hasb[i + 1] != 0)
+            a_ok = csel[i + 1] == csel[i] or not (dual and uses_a[0] and uses_a[1])
+            b_ok = (not dual) or cselb[i + 1] == cselb[i] or not (uses_b[0] and uses_b[1])
+            if a_ok and b_ok:
+                ok = True
+                if csel[i + 1] != csel[i]:
+                    # rewrite the pure-b side's don't-care csel
+                    if hasb[i] == 2 and uses_a[1]:
+                        csel_fix[i] = csel[i + 1]
+                    else:
+                        csel_fix[i + 1] = csel[i]
+                if dual and cselb[i + 1] != cselb[i]:
+                    if hasb[i] == 0 and uses_b[1]:
+                        cselb_fix[i] = cselb[i + 1]
+                    else:
+                        cselb_fix[i + 1] = cselb[i]
+        if ok:
             order += [i, i + 1]
             npairs += 1
             i += 2
@@ -788,7 +815,7 @@ def _fuse_gain(csel, cselb, osel, first, classpos):
             i += 1
     rr = 1.65 if classpos else 1.45
     gain = npairs * (2.0 - rr) - nsingle * (rr - 1.0)
-    return gain, order
+    return gain, order, csel_fix, cselb_fix
 
 
 # ----------------------------------------------------------------- wrappers
@@ -1171,22 +1198,28 @@ class _DeviceSwellPlan:
                     os.environ.get("SPMV_TPU_DBOTH_FRAC", "0.34"))
                 n_orig = len(nb["osel"])
                 if eligible and n_orig >= 16:
-                    gain, order = _fuse_gain(
+                    gain, order, csel_fix, cselb_fix = _fuse_gain(
                         np.asarray(nb["csel"]), np.asarray(nb["cselb"]),
-                        np.asarray(nb["osel"]), np.asarray(nb["first"]),
-                        b["classpos"])
+                        np.asarray(nb["hasb"]), np.asarray(nb["osel"]),
+                        np.asarray(nb["first"]), b["classpos"], b["dual"])
                     if gain > 0.05 * n_orig:
                         fuse_order = np.asarray(order)
             if fuse_order is not None:
                 b["orig"] = (b["csel"], b["cselb"], b["hasb"], b["osel"],
                              b["first"])
+                cs_fixed = np.asarray(nb["csel"]).copy()
+                cb_fixed = np.asarray(nb["cselb"]).copy()
+                for si, v in csel_fix.items():
+                    cs_fixed[si] = v
+                for si, v in cselb_fix.items():
+                    cb_fixed[si] = v
                 src = fuse_order.copy()
                 dummy = src < 0
                 src[dummy] = src[np.flatnonzero(dummy) - 1]
                 packed_pad = nb["packed"][src]
                 packed_pad[dummy] = 0
-                cs_p = np.asarray(nb["csel"])[src]
-                cb_p = np.asarray(nb["cselb"])[src]
+                cs_p = cs_fixed[src]
+                cb_p = cb_fixed[src]
                 hb_p = np.asarray(nb["hasb"])[src].copy()
                 hb_p[dummy] = 0
                 os_p = np.asarray(nb["osel"])[src]
