@@ -381,17 +381,24 @@ def main():
         if time.perf_counter() - _T_START > BUDGET_S:
             _STATE["skipped"].append(name)
             continue
-        try:
-            frac, gf, ok, rok, per_us = bench_matrix(name, log)
-            _STATE["results"][name] = (frac, gf)
-            per_us_by_name[name] = per_us
-            _STATE["all_ok"] &= ok
-            _STATE["raw_ok"] &= rok
-        except Exception as e:  # keep the harness robust (csr_spmv.hpp:52-62 analog)
-            print(f"  {name}: ERROR {type(e).__name__}: {e}", file=log, flush=True)
-            _STATE["all_ok"] = False
-        finally:
-            _clear_device_caches()
+        # one retry: the axon tunnel throws transient transport errors
+        # (observed: "response body closed before all bytes were read") that
+        # have nothing to do with the kernel under test
+        for attempt in (0, 1):
+            try:
+                frac, gf, ok, rok, per_us = bench_matrix(name, log)
+                _STATE["results"][name] = (frac, gf)
+                per_us_by_name[name] = per_us
+                _STATE["all_ok"] &= ok
+                _STATE["raw_ok"] &= rok
+                break
+            except Exception as e:  # robust harness (csr_spmv.hpp:52-62 analog)
+                print(f"  {name}: ERROR {type(e).__name__}: {e}"
+                      + (" (retrying)" if attempt == 0 else ""), file=log, flush=True)
+                if attempt == 1:
+                    _STATE["all_ok"] = False
+            finally:
+                _clear_device_caches()
         emit(partial=True)
     for name in SPMM_MATRICES:
         if time.perf_counter() - _T_START > BUDGET_S:
