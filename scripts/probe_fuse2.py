@@ -120,7 +120,7 @@ def make_prod_kernel(log2d, wide, dual, classpos, dboth):
 
 
 # --------------------------------------------------------------------- fused
-def make_fused_kernel(log2d, wide, dual, classpos, dboth, W):
+def make_fused_kernel(log2d, wide, dual, classpos, dboth, W, G=2):
     P, boff, ohw, nval, _ = _packed_rows(log2d, True, wide, 1)
     D = 1 << log2d
     nrows_t = boff + P if wide else P
@@ -131,18 +131,16 @@ def make_fused_kernel(log2d, wide, dual, classpos, dboth, W):
         chunkb_ref = rest.pop(0) if dual else None
         o_ref = rest.pop(0)
         s = pl.program_id(0)
-        buf = packed_ref[0]  # (2W, 128)
-        bA = buf[:W]
-        bB = buf[W:]
+        buf = packed_ref[0]  # (G*W, 128)
+        bs = [buf[g * W : (g + 1) * W] for g in range(G)]
         f32 = lambda rows: jax.lax.bitcast_convert_type(rows, jnp.float32)
-        vh = jnp.concatenate([f32(bA[:128]), f32(bB[:128])], 0)  # (256,128)
-        vl = jnp.concatenate([f32(bA[128:256]), f32(bB[128:256])], 0)
+        vh = jnp.concatenate([f32(b[:128]) for b in bs], 0)  # (G*128,128)
+        vl = jnp.concatenate([f32(b[128:256]) for b in bs], 0)
         idx = jnp.concatenate(
-            [_unpack_bytes(bA[nval : nval + 32], 128),
-             _unpack_bytes(bB[nval : nval + 32], 128)], 0)
-        ohA = _unpack_bytes(bA[nval + 32 : nval + 32 + ohw], 4 * ohw)[:nrows_t]
-        ohB = _unpack_bytes(bB[nval + 32 : nval + 32 + ohw], 4 * ohw)[:nrows_t]
-        oh2 = jnp.concatenate([ohA, ohB], 0)  # (2*nrows_t, 128)
+            [_unpack_bytes(b[nval : nval + 32], 128) for b in bs], 0)
+        ohs = [_unpack_bytes(b[nval + 32 : nval + 32 + ohw], 4 * ohw)[:nrows_t]
+               for b in bs]
+        oh2 = jnp.concatenate(ohs, 0)  # (G*nrows_t, 128)
         ca = chunk_ref[0]
         cb = chunkb_ref[0] if dual else None
         if dual:  # dboth: unconditional both-sides build, ONE taller matmul/side
@@ -150,17 +148,17 @@ def make_fused_kernel(log2d, wide, dual, classpos, dboth, W):
                   + _dot1((oh2 >> 1).astype(jnp.bfloat16), cb))
         else:
             sw = _dot1(oh2.astype(jnp.bfloat16), ca)
-        th, tl = _assemble_sets(sw, [0, 3])  # (2*nrows_t, 128) each
+        th, tl = _assemble_sets(sw, [0, 3])  # (G*nrows_t, 128) each
 
         def ex2(t):
-            a = _expand_tile(t[:P], D, P)
-            b = _expand_tile(t[nrows_t : nrows_t + P], D, P)
-            main = jnp.concatenate([a, b], 0)  # (256,128)
+            mains = [_expand_tile(t[g * nrows_t : g * nrows_t + P], D, P)
+                     for g in range(G)]
+            main = jnp.concatenate(mains, 0)
             if not wide:
                 return main, None
-            a2 = _expand_tile(t[boff : boff + P], D, P)
-            b2 = _expand_tile(t[nrows_t + boff : nrows_t + boff + P], D, P)
-            return main, jnp.concatenate([a2, b2], 0)
+            bsd = [_expand_tile(t[g * nrows_t + boff : g * nrows_t + boff + P], D, P)
+                   for g in range(G)]
+            return main, jnp.concatenate(bsd, 0)
 
         tha, thb = ex2(th)
         tla, tlb = ex2(tl)
@@ -171,8 +169,8 @@ def make_fused_kernel(log2d, wide, dual, classpos, dboth, W):
         ah, al = _split(vh)
         e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
         e = e + (vh * gl + (vl * gh + vl * gl))
-        p3 = p.reshape(2, 128, 128)
-        e3 = e.reshape(2, 128, 128)
+        p3 = p.reshape(G, 128, 128)
+        e3 = e.reshape(G, 128, 128)
         for _lv in range(log2d):
             half = p3.shape[1] // 2
             a, b = p3[:, :half], p3[:, half:]
@@ -181,46 +179,43 @@ def make_fused_kernel(log2d, wide, dual, classpos, dboth, W):
             err = (a - (ssum - bb)) + (b - bb)
             e3 = e3[:, :half] + e3[:, half:] + err
             p3 = ssum
+        halves_p = [p3[g] for g in range(G)]
+        halves_e = [e3[g] for g in range(G)]
         if classpos and log2d == 0:
-            pA, eA = p3[0], e3[0]
-            pB, eB = p3[1], e3[1]
+            pass
         elif classpos:
-            occA = bA[nval + 33 + ohw : nval + 34 + ohw]
-            occB = bB[nval + 33 + ohw : nval + 34 + ohw]
-            pA = _expand_tile(p3[0], D, P) * _mask_col(occA)
-            eA = _expand_tile(e3[0], D, P) * _mask_col(occA)
-            pB = _expand_tile(p3[1], D, P) * _mask_col(occB)
-            eB = _expand_tile(e3[1], D, P) * _mask_col(occB)
+            for g, b in enumerate(bs):
+                occ = b[nval + 33 + ohw : nval + 34 + ohw]
+                mk = _mask_col(occ)
+                halves_p[g] = _expand_tile(halves_p[g], D, P) * mk
+                halves_e[g] = _expand_tile(halves_e[g], D, P) * mk
         else:
-            rbA = bA[nval + 32 + ohw : nval + 33 + ohw]
-            rbB = bB[nval + 32 + ohw : nval + 33 + ohw]
-            oA = _scatter_exact(rbA, (p3[0], e3[0]), P)
-            oB = _scatter_exact(rbB, (p3[1], e3[1]), P)
-            pA, eA = oA[0], oA[1]
-            pB, eB = oB[0], oB[1]
+            for g, b in enumerate(bs):
+                rb = b[nval + 32 + ohw : nval + 33 + ohw]
+                og = _scatter_exact(rb, (halves_p[g], halves_e[g]), P)
+                halves_p[g], halves_e[g] = og[0], og[1]
         first = first_r[s]
+
+        def chain(cur, cure, start):
+            for g in range(start, G):
+                s1 = cur + halves_p[g]
+                b1 = s1 - cur
+                e1 = (cur - (s1 - b1)) + (halves_p[g] - b1)
+                cure = cure + halves_e[g] + e1
+                cur = s1
+            return cur, cure
 
         @pl.when(first == 1)
         def _():
-            # half A initializes; half B chains with 2Sum — identical rounding
-            # to two consecutive production steps
-            ssum = pA + pB
-            bb = ssum - pA
-            err = (pA - (ssum - bb)) + (pB - bb)
-            o_ref[0, :ROUT] = ssum
-            o_ref[0, ROUT:] = eA + eB + err
+            cur, cure = chain(halves_p[0], halves_e[0], 1)
+            o_ref[0, :ROUT] = cur
+            o_ref[0, ROUT:] = cure
 
         @pl.when(first == 0)
         def _():
-            cur = o_ref[0, :ROUT]
-            s1 = cur + pA
-            b1 = s1 - cur
-            e1 = (cur - (s1 - b1)) + (pA - b1)
-            s2 = s1 + pB
-            b2 = s2 - s1
-            e2 = (s1 - (s2 - b2)) + (pB - b2)
-            o_ref[0, :ROUT] = s2
-            o_ref[0, ROUT:] = ((o_ref[0, ROUT:] + eA + e1) + eB) + e2
+            cur, cure = chain(o_ref[0, :ROUT], o_ref[0, ROUT:], 0)
+            o_ref[0, :ROUT] = cur
+            o_ref[0, ROUT:] = cure
 
     return kernel
 
@@ -255,11 +250,11 @@ def call_prod(ba7, chunks, log2d, wide, dual, classpos, dboth, nout):
     )(*args)
 
 
-def call_fused(fa, chunks, log2d, wide, dual, classpos, dboth, nout, W):
+def call_fused(fa, chunks, log2d, wide, dual, classpos, dboth, nout, W, G=2):
     csel, cselb, hasb, osel, first, packed2 = fa
     nsteps = packed2.shape[0]
     in_specs = [
-        pl.BlockSpec((1, 2 * W, 128), lambda s, *_: (s, _Z, _Z)),
+        pl.BlockSpec((1, G * W, 128), lambda s, *_: (s, _Z, _Z)),
         pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
                      lambda s, csel, *_: (csel[s], _Z, _Z)),
     ]
@@ -274,43 +269,43 @@ def call_fused(fa, chunks, log2d, wide, dual, classpos, dboth, nout, W):
     )
     args = (csel, cselb, hasb, osel, first, packed2, chunks) + ((chunks,) if dual else ())
     return pl.pallas_call(
-        make_fused_kernel(log2d, wide, dual, classpos, dboth, W),
+        make_fused_kernel(log2d, wide, dual, classpos, dboth, W, G),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, 2 * ROUT, 128), jnp.float32),
         interpret=INTERP,
     )(*args)
 
 
-def pair_steps(csel, cselb, hasb, osel, first, packed):
+def pair_steps(csel, cselb, hasb, osel, first, packed, G=2):
     csel = np.asarray(csel); cselb = np.asarray(cselb); hasb = np.asarray(hasb)
     osel = np.asarray(osel); first = np.asarray(first)
     packed = np.asarray(packed)
     nsteps, W, _ = packed.shape
-    pairs = []
+    groups = []
     i = 0
     while i < nsteps:
+        grp = [i]
         j = i + 1
-        if (j < nsteps and csel[j] == csel[i] and cselb[j] == cselb[i]
-                and osel[j] == osel[i]):
-            pairs.append((i, j))
-            i += 2
-        else:
-            pairs.append((i, -1))
-            i += 1
-    n2 = len(pairs)
-    packed2 = np.zeros((n2, 2 * W, 128), packed.dtype)
+        while (len(grp) < G and j < nsteps and csel[j] == csel[i]
+               and cselb[j] == cselb[i] and osel[j] == osel[i]
+               and first[j] == 0):
+            grp.append(j)
+            j += 1
+        groups.append(grp)
+        i = j
+    n2 = len(groups)
+    packed2 = np.zeros((n2, G * W, 128), packed.dtype)
     c2 = np.zeros(n2, csel.dtype); cb2 = np.zeros(n2, cselb.dtype)
     h2 = np.zeros(n2, hasb.dtype); o2 = np.zeros(n2, osel.dtype)
     f2 = np.zeros(n2, first.dtype)
     n_dummy = 0
-    for t, (a, b) in enumerate(pairs):
-        packed2[t, :W] = packed[a]
-        if b >= 0:
-            packed2[t, W:] = packed[b]
-        else:
-            n_dummy += 1
+    for t, grp in enumerate(groups):
+        for g, src_i in enumerate(grp):
+            packed2[t, g * W : (g + 1) * W] = packed[src_i]
+        n_dummy += G - len(grp)
+        a = grp[0]
         c2[t], cb2[t], o2[t], f2[t] = csel[a], cselb[a], osel[a], first[a]
-        h2[t] = max(hasb[a], hasb[b] if b >= 0 else 0)
+        h2[t] = max(hasb[g] for g in grp)
     return ((jnp.asarray(c2), jnp.asarray(cb2), jnp.asarray(h2),
              jnp.asarray(o2), jnp.asarray(f2), jnp.asarray(packed2)),
             n2, n_dummy)
@@ -348,39 +343,43 @@ def main():
             ba7 = ba[:7]
         nsteps = ba7[5].shape[0]
         W = ba7[5].shape[1]
-        fa, n2, n_dummy = pair_steps(*ba7[:6])
+        G = int(os.environ.get("FUSE_G", "2"))
+        fa, n2, n_dummy = pair_steps(*ba7[:6], G=G)
         print(f"bucket {bi}: D={1 << l2d} wide={int(wide)} dual={int(dual)} "
               f"cpos={int(cpos)} dboth={int(dboth)} steps={nsteps} -> "
-              f"fused={n2} (dummy halves {n_dummy}, "
-              f"pair rate {(nsteps - n_dummy) / nsteps:.0%})", flush=True)
+              f"G={G} fused={n2} (dummy halves {n_dummy}, "
+              f"fill rate {nsteps / (n2 * G):.0%})", flush=True)
 
         o_prod = np.asarray(call_prod(ba7, chunks, l2d, wide, dual, cpos,
                                       dboth, nout))
         o_fuse = np.asarray(call_fused(fa, chunks, l2d, wide, dual, cpos,
-                                       dboth, nout, W))
+                                       dboth, nout, W, G))
         same = np.array_equal(o_prod, o_fuse)
         print(f"  outputs bit-identical: {same}"
               + ("" if same else f"  MAX ABS DIFF {np.abs(o_prod - o_fuse).max():.3e}"),
               flush=True)
 
-        for tag, fn in (("prod ", lambda ch: call_prod(
-                            ba7, ch, l2d, wide, dual, cpos, dboth, nout)),
-                        ("fused", lambda ch: call_fused(
-                            fa, ch, l2d, wide, dual, cpos, dboth, nout, W))):
+        for tag, args, fn in (
+                ("prod ", ba7, lambda a, ch: call_prod(
+                    a, ch, l2d, wide, dual, cpos, dboth, nout)),
+                ("fused", fa, lambda a, ch: call_fused(
+                    a, ch, l2d, wide, dual, cpos, dboth, nout, W, G))):
             @jax.jit
-            def loop(chunks, pert, n, fn=fn):
+            def loop(args, chunks, pert, n, fn=fn):
+                # args passed THROUGH the jit: closing over them embeds
+                # hundreds of MB in the HLO (HTTP 413 at G=4 bucket sizes)
                 def body(i, c):
                     ch = jnp.concatenate(
                         [(pert * (1.0 + c * 1e-30)).astype(chunks.dtype),
                          chunks[:, 1:]], axis=1)
-                    o = fn(ch)
+                    o = fn(args, ch)
                     return c + o[0, 0, 0] * 1e-30
 
                 return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
             def once(nn):
                 t = time.perf_counter()
-                r = loop(chunks, pert, nn)
+                r = loop(args, chunks, pert, nn)
                 np.asarray(jax.device_get(r))
                 return time.perf_counter() - t
 

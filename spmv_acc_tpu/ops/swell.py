@@ -616,24 +616,25 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
 
 
 def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
-                       is64: bool, acc: int = 0, dboth: bool = False):
-    """VERTICAL STEP FUSION (r=1, k=1): two same-(out,chunk) steps per grid
+                       is64: bool, acc: int = 0, dboth: bool = False,
+                       G: int = 2):
+    """VERTICAL STEP FUSION (r=1, k=1): G same-(out,chunk) steps per grid
     iteration.  The swell step is chain-latency bound (~900ns chain vs ~400ns
     max unit; PERF_NOTES) and Mosaic neither overlaps compute across grid steps
     nor interleaves independent chains — but a TALL op is a single instruction:
-    stacking the pair's operands along sublanes ((256,128) VPU ops, ONE taller
-    table matmul per side, (2,128,128) folds) pays each stage's latency once
-    per pair.  Measured (scripts/probe_fuse2.py, boneS10): D=8 row-packed
-    805 -> 642 ns/orig-step (-20%) at 90% pair rate; bit-identical outputs
-    (the in-kernel 2Sum chaining of the two halves reproduces two consecutive
-    grid steps' accumulation exactly).  Unpaired steps carry an all-zero dummy
-    half (exact zeros through products, tables, occupancy and scatter), so
-    fusion pays off only at high pair rates — gated per bucket by
-    `_fuse_gain`.  Dual buckets must be dboth (no 3-way pl.when build)."""
+    stacking the group's operands along sublanes ((G*128,128) VPU ops, ONE
+    taller table matmul per side, (G,128,128) folds) pays each stage's latency
+    once per group.  Measured (scripts/probe_fuse2.py, boneS10 D=8 row-packed):
+    G=2 805 -> 642, G=4 784 -> 538 ns/orig-step; fused-iter/step cost ratios
+    ~1.45/1.65 (G=2 rowpack/cpos) and ~2.5/3.1 (G=4) — G is chosen per bucket
+    by `_fuse_plan`.  Outputs are bit-identical: the in-kernel 2Sum chaining
+    of the G sub-steps reproduces G consecutive grid steps' accumulation
+    exactly, and all-zero dummy sub-steps pad short groups (exact zeros
+    through products, tables, occupancy and scatter).  Dual buckets must be
+    dboth (no 3-way pl.when build)."""
     P, boff, ohw, nval, W = _packed_rows(log2d, is64, wide, 1)
     D = 1 << log2d
     nrows_t = boff + P if wide else P
-    owidth = (2 if is64 else 1) * ROUT
 
     def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
                *rest):
@@ -642,19 +643,17 @@ def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
         acc_ref = rest.pop(0) if acc else None
         o_ref = rest.pop(0)
         s = pl.program_id(0)
-        buf = packed_ref[0]  # (2W, 128)
-        bA = buf[:W]
-        bB = buf[W:]
+        buf = packed_ref[0]  # (G*W, 128)
+        bs = [buf[g * W : (g + 1) * W] for g in range(G)]
         f32 = lambda rows: jax.lax.bitcast_convert_type(rows, jnp.float32)  # noqa: E731
-        vh = jnp.concatenate([f32(bA[:128]), f32(bB[:128])], 0)  # (256,128)
+        vh = jnp.concatenate([f32(b[:128]) for b in bs], 0)  # (G*128,128)
         if is64:
-            vl = jnp.concatenate([f32(bA[128:256]), f32(bB[128:256])], 0)
+            vl = jnp.concatenate([f32(b[128:256]) for b in bs], 0)
         idx = jnp.concatenate(
-            [_unpack_bytes(bA[nval : nval + 32], 128),
-             _unpack_bytes(bB[nval : nval + 32], 128)], 0)
-        ohA = _unpack_bytes(bA[nval + 32 : nval + 32 + ohw], 4 * ohw)[:nrows_t]
-        ohB = _unpack_bytes(bB[nval + 32 : nval + 32 + ohw], 4 * ohw)[:nrows_t]
-        oh2 = jnp.concatenate([ohA, ohB], 0)  # (2*nrows_t, 128)
+            [_unpack_bytes(b[nval : nval + 32], 128) for b in bs], 0)
+        oh2 = jnp.concatenate(
+            [_unpack_bytes(b[nval + 32 : nval + 32 + ohw], 4 * ohw)[:nrows_t]
+             for b in bs], 0)  # (G*nrows_t, 128)
         ca = chunk_ref[0]
         cb = chunkb_ref[0] if dual else None
         bases = [0, 3] if is64 else [0]
@@ -665,15 +664,15 @@ def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
             sw = _dot1(oh2.astype(jnp.bfloat16), ca)
         sets = _assemble_sets(sw, bases)
 
-        def ex2(t):  # stacked per-half table expansion -> (256,128) operands
-            a = _expand_tile(t[:P], D, P)
-            b = _expand_tile(t[nrows_t : nrows_t + P], D, P)
-            main = jnp.concatenate([a, b], 0)
+        def ex2(t):  # stacked per-sub-step table expansion -> (G*128,128)
+            mains = [_expand_tile(t[g * nrows_t : g * nrows_t + P], D, P)
+                     for g in range(G)]
+            main = jnp.concatenate(mains, 0)
             if not wide:
                 return main, None
-            a2 = _expand_tile(t[boff : boff + P], D, P)
-            b2 = _expand_tile(t[nrows_t + boff : nrows_t + boff + P], D, P)
-            return main, jnp.concatenate([a2, b2], 0)
+            alts = [_expand_tile(t[g * nrows_t + boff : g * nrows_t + boff + P],
+                                 D, P) for g in range(G)]
+            return main, jnp.concatenate(alts, 0)
 
         tha, thb = ex2(sets[0])
         gh = _gather_sel(tha, thb, idx) if wide else _lane_gather(tha, idx)
@@ -685,8 +684,8 @@ def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
             ah, al = _split(vh)
             e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
             e = e + (vh * gl + (vl * gh + vl * gl))
-            e3 = e.reshape(2, 128, 128)
-        p3 = p.reshape(2, 128, 128)
+            e3 = e.reshape(G, 128, 128)
+        p3 = p.reshape(G, 128, 128)
         for _lv in range(log2d):
             half = p3.shape[1] // 2
             a, b = p3[:, :half], p3[:, half:]
@@ -696,126 +695,138 @@ def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
                 err = (a - (ssum - bb)) + (b - bb)
                 e3 = e3[:, :half] + e3[:, half:] + err
             p3 = ssum
-        halves_p = [p3[0], p3[1]]
-        halves_e = [e3[0], e3[1]] if is64 else [None, None]
+        subs_p = [p3[g] for g in range(G)]
+        subs_e = [e3[g] for g in range(G)] if is64 else [None] * G
         if classpos and log2d == 0:
             pass
         elif classpos:
-            for h, boffset in enumerate((0, W)):
-                occ = buf[boffset + nval + 33 + ohw : boffset + nval + 34 + ohw]
+            for g, b in enumerate(bs):
+                occ = b[nval + 33 + ohw : nval + 34 + ohw]
                 mk = _mask_col(occ)
-                halves_p[h] = _expand_tile(halves_p[h], D, P) * mk
+                subs_p[g] = _expand_tile(subs_p[g], D, P) * mk
                 if is64:
-                    halves_e[h] = _expand_tile(halves_e[h], D, P) * mk
+                    subs_e[g] = _expand_tile(subs_e[g], D, P) * mk
         else:
-            for h, boffset in enumerate((0, W)):
-                rb = buf[boffset + nval + 32 + ohw : boffset + nval + 33 + ohw]
-                tensors = (halves_p[h], halves_e[h]) if is64 else (halves_p[h],)
+            for g, b in enumerate(bs):
+                rb = b[nval + 32 + ohw : nval + 33 + ohw]
+                tensors = (subs_p[g], subs_e[g]) if is64 else (subs_p[g],)
                 outs = _scatter_exact(rb, tensors, P)
-                halves_p[h] = outs[0]
+                subs_p[g] = outs[0]
                 if is64:
-                    halves_e[h] = outs[1]
-        pA, pB = halves_p
-        eA, eB = halves_e
+                    subs_e[g] = outs[1]
         first = first_r[s]
+
+        def chain64(cur, cure, start):
+            # sequential per-sub-step Knuth 2Sum — identical rounding to G
+            # consecutive production grid steps
+            for g in range(start, G):
+                s1 = cur + subs_p[g]
+                b1 = s1 - cur
+                e1 = (cur - (s1 - b1)) + (subs_p[g] - b1)
+                cure = cure + subs_e[g] + e1
+                cur = s1
+            return cur, cure
 
         @pl.when(first == 1)
         def _():
             if is64:
                 if acc == 2:
-                    cur = acc_ref[0, :ROUT]
-                    s1 = cur + pA
-                    b1 = s1 - cur
-                    e1 = (cur - (s1 - b1)) + (pA - b1)
-                    s2 = s1 + pB
-                    b2 = s2 - s1
-                    e2 = (s1 - (s2 - b2)) + (pB - b2)
-                    o_ref[0, :ROUT] = s2
-                    o_ref[0, ROUT:] = ((acc_ref[0, ROUT:] + eA + e1) + eB) + e2
+                    cur, cure = chain64(acc_ref[0, :ROUT], acc_ref[0, ROUT:], 0)
                 else:
-                    # half A initializes, half B chains — identical rounding to
-                    # two consecutive production steps
-                    ssum = pA + pB
-                    bb = ssum - pA
-                    err = (pA - (ssum - bb)) + (pB - bb)
-                    o_ref[0, :ROUT] = ssum
-                    o_ref[0, ROUT:] = eA + eB + err
+                    cur, cure = chain64(subs_p[0], subs_e[0], 1)
+                o_ref[0, :ROUT] = cur
+                o_ref[0, ROUT:] = cure
             else:
                 if acc == 2:
-                    o_ref[0, :ROUT] = acc_ref[0, :ROUT] + pA + pB
+                    tot = acc_ref[0, :ROUT]
+                    for g in range(G):
+                        tot = tot + subs_p[g]
                 else:
-                    o_ref[0, :ROUT] = pA + pB
+                    tot = subs_p[0]
+                    for g in range(1, G):
+                        tot = tot + subs_p[g]
+                o_ref[0, :ROUT] = tot
 
         @pl.when(first == 0)
         def _():
             if is64:
-                cur = o_ref[0, :ROUT]
-                s1 = cur + pA
-                b1 = s1 - cur
-                e1 = (cur - (s1 - b1)) + (pA - b1)
-                s2 = s1 + pB
-                b2 = s2 - s1
-                e2 = (s1 - (s2 - b2)) + (pB - b2)
-                o_ref[0, :ROUT] = s2
-                o_ref[0, ROUT:] = ((o_ref[0, ROUT:] + eA + e1) + eB) + e2
+                cur, cure = chain64(o_ref[0, :ROUT], o_ref[0, ROUT:], 0)
+                o_ref[0, :ROUT] = cur
+                o_ref[0, ROUT:] = cure
             else:
-                o_ref[0, :ROUT] = o_ref[0, :ROUT] + pA + pB
+                tot = o_ref[0, :ROUT]
+                for g in range(G):
+                    tot = tot + subs_p[g]
+                o_ref[0, :ROUT] = tot
 
     return kernel
 
 
-def _fuse_gain(csel, cselb, hasb, osel, first, classpos, dual):
-    """Pairing stats + modeled gain for vertical step fusion.
-
-    Measured fused-iter/prod-step cost ratios (probe_fuse2, boneS10): ~1.61-1.70
-    on classpos buckets, ~1.45 row-packed.  A pair saves (2 - r) step-units;
-    an unpaired step (zero dummy half) wastes (r - 1).
-
-    Selector relaxation (dual/dboth buckets): a pure-a step's cselb is a
-    sticky-filled DON'T-CARE (its b-side one-hot bits are zero, so the dboth
-    build multiplies whatever chunk-b block by exact zeros) and symmetrically
-    a pure-b step's csel — pairing may REWRITE the unused selector to match
-    the partner, raising pair rates well past what the Belady sticky fill
-    leaves.  Returns (gain, pair_order, csel_fix, cselb_fix) where pair_order
-    lists original step indices (-1 = dummy half) and the fix dicts map step
-    index -> rewritten selector value."""
+def _greedy_groups(csel, cselb, hasb, osel, first, dual, G):
+    """Greedy G-grouping of consecutive steps with selector relaxation: a
+    pure-a step's cselb (and a pure-b step's csel) is a sticky-filled
+    DON'T-CARE — its zero one-hot side multiplies whatever block is resident —
+    so groups resolve each selector from the first member that USES it and
+    rewrite the others.  Returns (order, csel_fix, cselb_fix, ngroups) where
+    order lists original step indices with -1 marking dummy sub-steps."""
     n = len(osel)
     order = []
     csel_fix = {}
     cselb_fix = {}
-    npairs = nsingle = 0
+    ngroups = 0
     i = 0
     while i < n:
-        ok = False
-        if i + 1 < n and osel[i + 1] == osel[i] and first[i + 1] == 0:
-            uses_a = (hasb[i] != 2, hasb[i + 1] != 2)
-            uses_b = (hasb[i] != 0, hasb[i + 1] != 0)
-            a_ok = csel[i + 1] == csel[i] or not (dual and uses_a[0] and uses_a[1])
-            b_ok = (not dual) or cselb[i + 1] == cselb[i] or not (uses_b[0] and uses_b[1])
-            if a_ok and b_ok:
-                ok = True
-                if csel[i + 1] != csel[i]:
-                    # rewrite the pure-b side's don't-care csel
-                    if hasb[i] == 2 and uses_a[1]:
-                        csel_fix[i] = csel[i + 1]
-                    else:
-                        csel_fix[i + 1] = csel[i]
-                if dual and cselb[i + 1] != cselb[i]:
-                    if hasb[i] == 0 and uses_b[1]:
-                        cselb_fix[i] = cselb[i + 1]
-                    else:
-                        cselb_fix[i + 1] = cselb[i]
-        if ok:
-            order += [i, i + 1]
-            npairs += 1
-            i += 2
-        else:
-            order += [i, -1]
-            nsingle += 1
-            i += 1
-    rr = 1.65 if classpos else 1.45
-    gain = npairs * (2.0 - rr) - nsingle * (rr - 1.0)
-    return gain, order, csel_fix, cselb_fix
+        res_a = csel[i] if (not dual or hasb[i] != 2) else None
+        res_b = cselb[i] if (dual and hasb[i] != 0) else None
+        grp = [i]
+        j = i + 1
+        while len(grp) < G and j < n and osel[j] == osel[i] and first[j] == 0:
+            uses_a = (not dual) or hasb[j] != 2
+            uses_b = dual and hasb[j] != 0
+            if uses_a and res_a is not None and csel[j] != res_a:
+                break
+            if uses_b and res_b is not None and cselb[j] != res_b:
+                break
+            if uses_a and res_a is None:
+                res_a = csel[j]
+            if uses_b and res_b is None:
+                res_b = cselb[j]
+            grp.append(j)
+            j += 1
+        if res_a is None:
+            res_a = csel[i]
+        if res_b is None:
+            res_b = cselb[i]
+        for g in grp:
+            if csel[g] != res_a:
+                csel_fix[g] = res_a
+            if dual and cselb[g] != res_b:
+                cselb_fix[g] = res_b
+        order += grp + [-1] * (G - len(grp))
+        ngroups += 1
+        i = j
+    return order, csel_fix, cselb_fix, ngroups
+
+
+def _fuse_plan(csel, cselb, hasb, osel, first, classpos, dual):
+    """Pick the fusion arity G per bucket by modeled cost.
+
+    Measured fused-iter/prod-step cost ratios (probe_fuse2, boneS10):
+    G=2 ~1.45 row-packed / ~1.65 classpos; G=4 ~2.5 / ~3.1.  A G-group of k
+    real steps costs ratio(G) step-units, so cost(G) = ngroups * ratio and
+    the winner must beat the unfused baseline n by a 5% margin.  Returns
+    (G, order, csel_fix, cselb_fix) with G == 1 meaning "do not fuse"."""
+    n = len(osel)
+    ratios = {2: 1.65 if classpos else 1.45, 4: 3.1 if classpos else 2.5}
+    best = (0.95 * n, 1, None, None, None)
+    for G, rr in ratios.items():
+        order, cf, cbf, ngroups = _greedy_groups(csel, cselb, hasb, osel,
+                                                 first, dual, G)
+        cost = ngroups * rr
+        if cost < best[0]:
+            best = (cost, G, order, cf, cbf)
+    _, G, order, cf, cbf = best
+    return G, order, cf, cbf
 
 
 # ----------------------------------------------------------------- wrappers
@@ -985,17 +996,17 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
 
 def _call_fused(csel2, cselb2, hasb2, osel2, first2, packed_f, chunks, log2d,
                 wide, nout, is64, dual, classpos, acc=None, acc_mode=0,
-                dboth=False):
-    """Vertical-step-fusion call: ``packed_f`` is the PAIR-ALIGNED padded
+                dboth=False, G=2):
+    """Vertical-step-fusion call: ``packed_f`` is the GROUP-ALIGNED padded
     bucket buffer (n_f, W, 128); the fused grid reinterprets it as
-    (n_f/2, 2W, 128) — one reshape, no copy, and the same buffer still serves
+    (n_f/G, G*W, 128) — one reshape, no copy, and the same buffer still serves
     the unfused/SpMM kernels."""
     n2 = csel2.shape[0]
     W = packed_f.shape[1]
-    packed2 = packed_f.reshape(n2, 2 * W, 128)
+    packed2 = packed_f.reshape(n2, G * W, 128)
     owidth = (2 if is64 else 1) * ROUT
     in_specs = [
-        pl.BlockSpec((1, 2 * W, 128), lambda s, *_: (s, _Z, _Z)),
+        pl.BlockSpec((1, G * W, 128), lambda s, *_: (s, _Z, _Z)),
         pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
                      lambda s, csel, *_: (csel[s], _Z, _Z)),
     ]
@@ -1017,7 +1028,8 @@ def _call_fused(csel2, cselb2, hasb2, osel2, first2, packed_f, chunks, log2d,
     args = ((csel2, cselb2, hasb2, osel2, first2, packed2, chunks)
             + ((chunks,) if dual else ()) + ((acc,) if acc_mode else ()))
     return pl.pallas_call(
-        _make_fused_kernel(log2d, wide, dual, classpos, is64, acc_mode, dboth),
+        _make_fused_kernel(log2d, wide, dual, classpos, is64, acc_mode, dboth,
+                           G),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, owidth, 128), jnp.float32),
         input_output_aliases=io_alias,
@@ -1187,22 +1199,23 @@ class _DeviceSwellPlan:
                 touched=jnp.asarray(nb["touched"]),
             )
             fuse_order = None
+            fuse_g = 1
             if self.r == 1 and not os.environ.get("SPMV_TPU_NO_FUSE"):
                 # vertical step fusion (see _make_fused_kernel): eligible when
                 # dual buckets build both sides unconditionally (dboth) and the
-                # modeled pair gain clears a margin; the bucket arrays are then
-                # PAIR-ALIGNED (zero dummy halves pad odd runs) and replace the
-                # pipe transform — fusion's measured -20% on high-pair-rate
-                # buckets dominates the piped builds' -3..6%
+                # modeled group gain clears a margin; the bucket arrays are
+                # then GROUP-ALIGNED (zero dummy sub-steps pad short groups)
+                # and replace the pipe transform — fusion's measured -20..31%
+                # on high-pair-rate buckets dominates the piped builds' -3..6%
                 eligible = (not b["dual"]) or b["dfrac"] >= float(
                     os.environ.get("SPMV_TPU_DBOTH_FRAC", "0.34"))
                 n_orig = len(nb["osel"])
                 if eligible and n_orig >= 16:
-                    gain, order, csel_fix, cselb_fix = _fuse_gain(
+                    fuse_g, order, csel_fix, cselb_fix = _fuse_plan(
                         np.asarray(nb["csel"]), np.asarray(nb["cselb"]),
                         np.asarray(nb["hasb"]), np.asarray(nb["osel"]),
                         np.asarray(nb["first"]), b["classpos"], b["dual"])
-                    if gain > 0.05 * n_orig:
+                    if fuse_g > 1:
                         fuse_order = np.asarray(order)
             if fuse_order is not None:
                 b["orig"] = (b["csel"], b["cselb"], b["hasb"], b["osel"],
@@ -1215,7 +1228,10 @@ class _DeviceSwellPlan:
                     cb_fixed[si] = v
                 src = fuse_order.copy()
                 dummy = src < 0
-                src[dummy] = src[np.flatnonzero(dummy) - 1]
+                # sequential fill: consecutive dummies (G=4 short groups) must
+                # inherit from the already-fixed predecessor, not the raw -1
+                for t in np.flatnonzero(dummy):
+                    src[t] = src[t - 1]
                 packed_pad = nb["packed"][src]
                 packed_pad[dummy] = 0
                 cs_p = cs_fixed[src]
@@ -1231,12 +1247,14 @@ class _DeviceSwellPlan:
                 b["hasb"] = jnp.asarray(hb_p)
                 b["osel"] = jnp.asarray(os_p)
                 b["first"] = jnp.asarray(fi_p)
-                b["csel2"] = jnp.asarray(cs_p[::2])
-                b["cselb2"] = jnp.asarray(cb_p[::2])
-                b["hasb2"] = jnp.asarray(np.maximum(hb_p[::2], hb_p[1::2]))
-                b["osel2"] = jnp.asarray(os_p[::2])
-                b["first2"] = jnp.asarray(fi_p[::2])
-                b["fuse"] = True
+                G = fuse_g
+                b["csel2"] = jnp.asarray(cs_p[::G])
+                b["cselb2"] = jnp.asarray(cb_p[::G])
+                b["hasb2"] = jnp.asarray(
+                    np.max(hb_p.reshape(-1, G), axis=1))
+                b["osel2"] = jnp.asarray(os_p[::G])
+                b["first2"] = jnp.asarray(fi_p[::G])
+                b["fuse"] = G
             elif self.r == 1:
                 # Software-pipelined table builds (r=1 kernels).  A zero-value
                 # DUMMY step is prepended so EVERY real step's tables are built
@@ -1574,10 +1592,13 @@ def _statics(dp: _DeviceSwellPlan, interp: bool):
         pipe,
         tuple(bool(b["dual"]) and b.get("dfrac", 0.0) >= dbf
               for b in dp.buckets),
-        # vertical step fusion per bucket: pair-aligned arrays must exist AND
-        # dual buckets must (still) be dboth under the current env
-        tuple(bool(b.get("fuse")) and not os.environ.get("SPMV_TPU_NO_FUSE")
-              and ((not b["dual"]) or b.get("dfrac", 0.0) >= dbf)
+        # vertical step fusion per bucket (0 = unfused, else the group arity
+        # G): group-aligned arrays must exist AND dual buckets must (still) be
+        # dboth under the current env
+        tuple((int(b.get("fuse", 0)) if (not os.environ.get("SPMV_TPU_NO_FUSE")
+                                         and ((not b["dual"])
+                                              or b.get("dfrac", 0.0) >= dbf)
+                                         and int(b.get("fuse", 0)) > 1) else 0)
               for b in dp.buckets),
     )
 
@@ -1775,11 +1796,12 @@ def swell_ax(bargs, tail, x, statics):
             dboth = dboths[i]
             mode = 2 if j > 0 else (1 if acc is not None else 0)
             if len(ba) == 12 and fuseds[i]:
-                # vertical step fusion: two steps per grid iteration on the
-                # pair-aligned arrays (see _make_fused_kernel)
+                # vertical step fusion: G steps per grid iteration on the
+                # group-aligned arrays (see _make_fused_kernel)
                 acc = _call_fused(ba[7], ba[8], ba[9], ba[10], ba[11], ba[5],
                                   chunks, log2d, wide, nout, is64, dual,
-                                  classpos, acc=acc, acc_mode=mode, dboth=dboth)
+                                  classpos, acc=acc, acc_mode=mode, dboth=dboth,
+                                  G=int(fuseds[i]))
                 continue
             ohs = None
             # branched-build dual buckets keep the unpiped path: their 3-way
