@@ -817,7 +817,11 @@ def _fuse_plan(csel, cselb, hasb, osel, first, classpos, dual):
     the winner must beat the unfused baseline n by a 5% margin.  Returns
     (G, order, csel_fix, cselb_fix) with G == 1 meaning "do not fuse"."""
     n = len(osel)
-    ratios = {2: 1.65 if classpos else 1.45, 4: 3.1 if classpos else 2.5}
+    # measured fused-iter/step ratios (probe_fuse2, boneS10): G=8 row-packed
+    # 763 -> 485 ns/orig-step at 85% fill (iter ratio 4.33)
+    ratios = {2: 1.65 if classpos else 1.45,
+              4: 3.1 if classpos else 2.5,
+              8: 5.8 if classpos else 4.35}
     best = (0.95 * n, 1, None, None, None)
     for G, rr in ratios.items():
         order, cf, cbf, ngroups = _greedy_groups(csel, cselb, hasb, osel,
