@@ -46,7 +46,7 @@ def spmm_swell(alpha, beta, csr, X, Y):
 
     dp = get_swell_plan(csr, csr.values.dtype)
     interp = _interpret()
-    bargs = _bucket_args(dp, interp)
+    bargs = _bucket_args(dp, interp, amx=True)
     statics = _statics(dp, interp)
     k = X.shape[1]
     g = int(os.environ.get("SPMV_TPU_SPMM_GROUP", "0")) or max(1, 8 // dp.r)

@@ -1259,6 +1259,11 @@ class _DeviceSwellPlan:
                 b["osel2"] = jnp.asarray(os_p[::G])
                 b["first2"] = jnp.asarray(fi_p[::G])
                 b["fuse"] = G
+                # original (pre-padding) packed kept HOST-side for the k>1
+                # SpMM kernels: they run unfused and would otherwise pay the
+                # dummy sub-steps (bench k=8 geomean 1.14 -> 1.08); transferred
+                # lazily on first SpMM use
+                b["_packed_orig_np"] = nb["packed"]
             elif self.r == 1:
                 # Software-pipelined table builds (r=1 kernels).  A zero-value
                 # DUMMY step is prepended so EVERY real step's tables are built
@@ -1536,7 +1541,7 @@ def get_swell_plan(csr, dtype) -> _DeviceSwellPlan:
 # are its argument pytree and hashable spec.
 
 
-def _bucket_args(dp: _DeviceSwellPlan, interp: bool):
+def _bucket_args(dp: _DeviceSwellPlan, interp: bool, amx: bool = False):
     out = []
     if interp and dp.buckets and not dp._host_buckets:
         raise RuntimeError(
@@ -1558,10 +1563,19 @@ def _bucket_args(dp: _DeviceSwellPlan, interp: bool):
                     b["touched"],
                 )
             out.append(b["interp_args"])
+        elif b.get("fuse") and amx:
+            # SpMM path on a group-aligned bucket: append the ORIGINAL
+            # (dummy-free) step arrays (13-field tuple); packed transferred
+            # lazily on first use
+            if "amx_packed" not in b:
+                b["amx_packed"] = jnp.asarray(b["_packed_orig_np"])
+            out.append((b["csel"], b["cselb"], b["hasb"], b["osel"], b["first"],
+                        b["packed"], b["touched"])
+                       + b["orig"] + (b["amx_packed"],))
         elif b.get("fuse"):
-            # r == 1 pair-aligned bucket: fields [:7] are the padded arrays
-            # (runnable by the unfused/SpMM kernels — dummy halves are exact
-            # zeros), [7:12] the stride-2 fused selectors
+            # r == 1 group-aligned bucket: fields [:7] are the padded arrays
+            # (runnable by the unfused/SpMM kernels — dummy sub-steps are exact
+            # zeros), [7:12] the stride-G fused selectors
             out.append((b["csel"], b["cselb"], b["hasb"], b["osel"], b["first"],
                         b["packed"], b["touched"],
                         b["csel2"], b["cselb2"], b["hasb2"], b["osel2"],
@@ -1872,10 +1886,15 @@ def swell_amx(bargs, tail, X, statics, k):
             if not interp and len(ba) == 11:  # k>1 kernels use the NONPIPE set
                 (_cp, _cbp, _hbp, csel, cselb, hasb, osel, first,
                  _ohs, packed, touched) = ba
+            elif not interp and len(ba) == 13:
+                # group-aligned bucket with its original (dummy-free) arrays
+                # appended for the SpMM path (see _bucket_args(amx=True))
+                csel, cselb, hasb, osel, first, packed = ba[7:13]
+                touched = ba[6]
             elif not interp:
-                # 7-field plain bucket or 12-field pair-aligned bucket: the
-                # k>1 kernels run the padded arrays unfused (dummy halves are
-                # exact zeros)
+                # 7-field plain bucket or 12-field group-aligned bucket WITHOUT
+                # the amx originals: the padded arrays run unfused (dummy
+                # sub-steps are exact zeros)
                 csel, cselb, hasb, osel, first, packed, touched = ba[:7]
             if interp:
                 csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
@@ -2034,7 +2053,7 @@ def make_swell_amx_run(csr, k: int):
 
     dp = get_swell_plan(csr, csr.values.dtype)
     interp = _interpret()
-    bargs = _bucket_args(dp, interp)
+    bargs = _bucket_args(dp, interp, amx=True)
     statics = _statics(dp, interp)
     g = int(os.environ.get("SPMV_TPU_SPMM_GROUP", "0")) or max(1, 8 // dp.r)
     g = min(g, k)
