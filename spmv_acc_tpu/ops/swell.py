@@ -808,20 +808,95 @@ def _greedy_groups(csel, cselb, hasb, osel, first, dual, G):
     return order, csel_fix, cselb_fix, ngroups
 
 
-def _fuse_plan(csel, cselb, hasb, osel, first, classpos, dual):
-    """Pick the fusion arity G per bucket by modeled cost.
+def _fuse_ratios(classpos):
+    """Measured fused-iter/prod-step cost ratios (probe_fuse2, boneS10):
+    G=2 1.45 row-packed / 1.65 classpos; G=4 2.5 / 3.1; G=8 4.35 (row-packed
+    763 -> 485 ns/orig-step at 85% fill) / 5.8."""
+    return ({2: 1.65, 4: 3.1, 8: 5.8} if classpos
+            else {2: 1.45, 4: 2.5, 8: 4.35})
 
-    Measured fused-iter/prod-step cost ratios (probe_fuse2, boneS10):
-    G=2 ~1.45 row-packed / ~1.65 classpos; G=4 ~2.5 / ~3.1.  A G-group of k
-    real steps costs ratio(G) step-units, so cost(G) = ngroups * ratio and
-    the winner must beat the unfused baseline n by a 5% margin.  Returns
+
+def _scan_runs(csel, cselb, hasb, osel, first, dual):
+    """Maximal fusable runs with selector relaxation (see _greedy_groups):
+    returns (runs, csel_fix, cselb_fix) where each run is a list of
+    consecutive step indices sharing (osel, resolved csel, resolved cselb)."""
+    n = len(osel)
+    runs = []
+    csel_fix = {}
+    cselb_fix = {}
+    i = 0
+    while i < n:
+        res_a = csel[i] if (not dual or hasb[i] != 2) else None
+        res_b = cselb[i] if (dual and hasb[i] != 0) else None
+        grp = [i]
+        j = i + 1
+        while j < n and osel[j] == osel[i] and first[j] == 0:
+            uses_a = (not dual) or hasb[j] != 2
+            uses_b = dual and hasb[j] != 0
+            if uses_a and res_a is not None and csel[j] != res_a:
+                break
+            if uses_b and res_b is not None and cselb[j] != res_b:
+                break
+            if uses_a and res_a is None:
+                res_a = csel[j]
+            if uses_b and res_b is None:
+                res_b = cselb[j]
+            grp.append(j)
+            j += 1
+        if res_a is None:
+            res_a = csel[i]
+        if res_b is None:
+            res_b = cselb[i]
+        for g in grp:
+            if csel[g] != res_a:
+                csel_fix[g] = res_a
+            if dual and cselb[g] != res_b:
+                cselb_fix[g] = res_b
+        runs.append(grp)
+        i = j
+    return runs, csel_fix, cselb_fix
+
+
+def _fuse_partition(csel, cselb, hasb, osel, first, classpos, dual):
+    """PER-RUN fusion arity: each maximal run picks the G in {1,2,4,8} that
+    minimizes ceil(L/G) * ratio(G) step-units, and runs are partitioned into
+    per-G sub-buckets (each compiles its own kernel; the ~3us extra pallas
+    call is noise next to the saved step-units).  This captures the
+    run-evening headroom a single bucket-wide G leaves on the table (measured
+    model gap: Hardesty3 12.4%, boneS10 9.4% of step cost) without touching
+    the packing.  G-classes under 8 original steps demote to G=1 (the pipe
+    transform serves them better than dummy-diluted groups).
+
+    Returns (parts, csel_fix, cselb_fix): parts maps G -> ordered list of
+    RUNS (each a list of step indices, NOT yet dummy-padded); None when no
+    run fuses."""
+    runs, cf, cbf = _scan_runs(csel, cselb, hasb, osel, first, dual)
+    ratios = _fuse_ratios(classpos)
+    parts = {}
+    for grp in runs:
+        L = len(grp)
+        # fused G must beat the unfused run cost by a 5% margin (the iter
+        # ratios carry ~5% measurement spread)
+        best_g, best_c = 1, 0.95 * L
+        for G, rr in ratios.items():
+            c = -(-L // G) * rr
+            if c < best_c:
+                best_g, best_c = G, c
+        parts.setdefault(best_g, []).append(grp)
+    for G in sorted(parts):
+        if G > 1 and sum(len(r) for r in parts[G]) < 8:
+            parts.setdefault(1, []).extend(parts.pop(G))
+    if set(parts) == {1}:
+        return None, cf, cbf
+    return parts, cf, cbf
+
+
+def _fuse_plan(csel, cselb, hasb, osel, first, classpos, dual):
+    """Single-G per-bucket fusion choice (kept for the dist path and A/B
+    tooling; production buckets use _fuse_partition).  Returns
     (G, order, csel_fix, cselb_fix) with G == 1 meaning "do not fuse"."""
     n = len(osel)
-    # measured fused-iter/step ratios (probe_fuse2, boneS10): G=8 row-packed
-    # 763 -> 485 ns/orig-step at 85% fill (iter ratio 4.33)
-    ratios = {2: 1.65 if classpos else 1.45,
-              4: 3.1 if classpos else 2.5,
-              8: 5.8 if classpos else 4.35}
+    ratios = _fuse_ratios(classpos)
     best = (0.95 * n, 1, None, None, None)
     for G, rr in ratios.items():
         order, cf, cbf, ngroups = _greedy_groups(csel, cselb, hasb, osel,
@@ -1186,14 +1261,100 @@ class _DeviceSwellPlan:
             np_buckets = _bucket_numpy(plan, self.dtype)
         is64 = self.dtype == np.float64
         self.buckets = []
-        for nb in np_buckets:
+        for inb, nb in enumerate(np_buckets):
+            hasb0 = np.asarray(nb["hasb"])
+            dfrac0 = float((hasb0 != 0).mean()) if len(hasb0) else 0.0
+            parts = csel_fix = cselb_fix = None
+            if self.r == 1 and not os.environ.get("SPMV_TPU_NO_FUSE"):
+                # vertical step fusion (see _make_fused_kernel): eligible when
+                # dual buckets build both sides unconditionally (dboth); each
+                # maximal run picks its own G and runs partition into per-G
+                # SUB-buckets (_fuse_partition) — a single bucket-wide G left
+                # 4-12% of modeled step cost on the table (PERF_NOTES)
+                eligible = (not nb["dual"]) or dfrac0 >= float(
+                    os.environ.get("SPMV_TPU_DBOTH_FRAC", "0.34"))
+                if eligible and len(nb["osel"]) >= 16:
+                    parts, csel_fix, cselb_fix = _fuse_partition(
+                        np.asarray(nb["csel"]), np.asarray(nb["cselb"]),
+                        hasb0, np.asarray(nb["osel"]), np.asarray(nb["first"]),
+                        nb["classpos"], nb["dual"])
+            if parts is not None:
+                cs_fixed = np.asarray(nb["csel"]).copy()
+                cb_fixed = np.asarray(nb["cselb"]).copy()
+                for si, v in csel_fix.items():
+                    cs_fixed[si] = v
+                for si, v in cselb_fix.items():
+                    cb_fixed[si] = v
+                osel0 = np.asarray(nb["osel"])
+                for G in sorted(parts):
+                    runs = sorted(parts[G], key=lambda g: g[0])
+                    order = []
+                    for grp in runs:
+                        order += grp + [-1] * ((-len(grp)) % G)
+                    src = np.asarray(order, dtype=np.int64)
+                    dummy = src < 0
+                    # sequential fill: consecutive dummies inherit from the
+                    # already-fixed predecessor, not the raw -1
+                    for t in np.flatnonzero(dummy):
+                        src[t] = src[t - 1]
+                    mo = src[~dummy]  # original indices, sub order
+                    packed_pad = nb["packed"][src]
+                    packed_pad[dummy] = 0
+                    cs_p = cs_fixed[src]
+                    cb_p = cb_fixed[src]
+                    hb_p = hasb0[src].copy()
+                    hb_p[dummy] = 0
+                    os_p = osel0[src]
+                    # first flags are PER SUB-BUCKET: 1 at each osel change
+                    # (windows split across sub-buckets chain through the
+                    # HBM-aliased accumulator exactly like depth buckets do)
+                    fi_p = np.zeros(len(src), np.int32)
+                    fi_p[0] = 1
+                    fi_p[1:] = (os_p[1:] != os_p[:-1]).astype(np.int32)
+                    touched_sub = np.zeros(self.nout, dtype=bool)
+                    touched_sub[np.unique(os_p)] = True
+                    sub = dict(
+                        log2d=nb["log2d"], wide=nb["wide"],
+                        dual=bool((hb_p != 0).any()), classpos=nb["classpos"],
+                        allout=bool(touched_sub.all()),
+                        dfrac=float((hb_p != 0).mean()) if len(hb_p) else 0.0,
+                        packed=jnp.asarray(packed_pad),
+                        csel=jnp.asarray(cs_p), cselb=jnp.asarray(cb_p),
+                        hasb=jnp.asarray(hb_p), osel=jnp.asarray(os_p),
+                        first=jnp.asarray(fi_p),
+                        touched=jnp.asarray(touched_sub),
+                        hb_index=inb, src_steps=mo,
+                    )
+                    # original (dummy-free, sub-ordered) selectors: the interp
+                    # path and the k>1 SpMM kernels
+                    fi_o = np.zeros(len(mo), np.int32)
+                    if len(mo):
+                        fi_o[0] = 1
+                        oso = osel0[mo]
+                        fi_o[1:] = (oso[1:] != oso[:-1]).astype(np.int32)
+                    sub["orig"] = (jnp.asarray(cs_fixed[mo]),
+                                   jnp.asarray(cb_fixed[mo]),
+                                   jnp.asarray(hasb0[mo]),
+                                   jnp.asarray(osel0[mo]), jnp.asarray(fi_o))
+                    if G > 1:
+                        sub["fuse"] = G
+                        sub["csel2"] = jnp.asarray(cs_p[::G])
+                        sub["cselb2"] = jnp.asarray(cb_p[::G])
+                        sub["hasb2"] = jnp.asarray(np.max(hb_p.reshape(-1, G),
+                                                          axis=1))
+                        sub["osel2"] = jnp.asarray(os_p[::G])
+                        sub["first2"] = jnp.asarray(fi_p[::G])
+                        # pre-padding packed kept HOST-side for the k>1 SpMM
+                        # kernels (transferred lazily on first SpMM use)
+                        sub["_packed_orig_np"] = nb["packed"][mo]
+                    self.buckets.append(sub)
+                continue
             b = dict(
                 log2d=nb["log2d"], wide=nb["wide"], dual=nb["dual"],
                 classpos=nb["classpos"], allout=nb["allout"],
                 # mixed-step fraction: drives the unconditional both-sides
                 # table build (dboth) trace-time specialization
-                dfrac=float((np.asarray(nb["hasb"]) != 0).mean())
-                if len(nb["hasb"]) else 0.0,
+                dfrac=dfrac0,
                 packed=jnp.asarray(nb["packed"]),
                 csel=jnp.asarray(nb["csel"]),
                 cselb=jnp.asarray(nb["cselb"]),
@@ -1201,70 +1362,9 @@ class _DeviceSwellPlan:
                 osel=jnp.asarray(nb["osel"]),
                 first=jnp.asarray(nb["first"]),
                 touched=jnp.asarray(nb["touched"]),
+                hb_index=inb, src_steps=None,
             )
-            fuse_order = None
-            fuse_g = 1
-            if self.r == 1 and not os.environ.get("SPMV_TPU_NO_FUSE"):
-                # vertical step fusion (see _make_fused_kernel): eligible when
-                # dual buckets build both sides unconditionally (dboth) and the
-                # modeled group gain clears a margin; the bucket arrays are
-                # then GROUP-ALIGNED (zero dummy sub-steps pad short groups)
-                # and replace the pipe transform — fusion's measured -20..31%
-                # on high-pair-rate buckets dominates the piped builds' -3..6%
-                eligible = (not b["dual"]) or b["dfrac"] >= float(
-                    os.environ.get("SPMV_TPU_DBOTH_FRAC", "0.34"))
-                n_orig = len(nb["osel"])
-                if eligible and n_orig >= 16:
-                    fuse_g, order, csel_fix, cselb_fix = _fuse_plan(
-                        np.asarray(nb["csel"]), np.asarray(nb["cselb"]),
-                        np.asarray(nb["hasb"]), np.asarray(nb["osel"]),
-                        np.asarray(nb["first"]), b["classpos"], b["dual"])
-                    if fuse_g > 1:
-                        fuse_order = np.asarray(order)
-            if fuse_order is not None:
-                b["orig"] = (b["csel"], b["cselb"], b["hasb"], b["osel"],
-                             b["first"])
-                cs_fixed = np.asarray(nb["csel"]).copy()
-                cb_fixed = np.asarray(nb["cselb"]).copy()
-                for si, v in csel_fix.items():
-                    cs_fixed[si] = v
-                for si, v in cselb_fix.items():
-                    cb_fixed[si] = v
-                src = fuse_order.copy()
-                dummy = src < 0
-                # sequential fill: consecutive dummies (G=4 short groups) must
-                # inherit from the already-fixed predecessor, not the raw -1
-                for t in np.flatnonzero(dummy):
-                    src[t] = src[t - 1]
-                packed_pad = nb["packed"][src]
-                packed_pad[dummy] = 0
-                cs_p = cs_fixed[src]
-                cb_p = cb_fixed[src]
-                hb_p = np.asarray(nb["hasb"])[src].copy()
-                hb_p[dummy] = 0
-                os_p = np.asarray(nb["osel"])[src]
-                fi_p = np.asarray(nb["first"])[src].copy()
-                fi_p[dummy] = 0
-                b["packed"] = jnp.asarray(packed_pad)
-                b["csel"] = jnp.asarray(cs_p)
-                b["cselb"] = jnp.asarray(cb_p)
-                b["hasb"] = jnp.asarray(hb_p)
-                b["osel"] = jnp.asarray(os_p)
-                b["first"] = jnp.asarray(fi_p)
-                G = fuse_g
-                b["csel2"] = jnp.asarray(cs_p[::G])
-                b["cselb2"] = jnp.asarray(cb_p[::G])
-                b["hasb2"] = jnp.asarray(
-                    np.max(hb_p.reshape(-1, G), axis=1))
-                b["osel2"] = jnp.asarray(os_p[::G])
-                b["first2"] = jnp.asarray(fi_p[::G])
-                b["fuse"] = G
-                # original (pre-padding) packed kept HOST-side for the k>1
-                # SpMM kernels: they run unfused and would otherwise pay the
-                # dummy sub-steps (bench k=8 geomean 1.14 -> 1.08); transferred
-                # lazily on first SpMM use
-                b["_packed_orig_np"] = nb["packed"]
-            elif self.r == 1:
+            if self.r == 1:
                 # Software-pipelined table builds (r=1 kernels).  A zero-value
                 # DUMMY step is prepended so EVERY real step's tables are built
                 # unconditionally by its predecessor (no pl.when around the
@@ -1552,14 +1652,21 @@ def _bucket_args(dp: _DeviceSwellPlan, interp: bool, amx: bool = False):
     for i, b in enumerate(dp.buckets):
         if interp:
             if "interp_args" not in b:
-                hb = dp._host_buckets[i]
-                # the r==1 TPU arrays carry the pipe dummy step; the interp
-                # (native-dtype) path needs the ORIGINAL step arrays
+                # buckets may be SPLIT sub-buckets (per-run fusion classes):
+                # hb_index maps back to the source host bucket and src_steps
+                # selects this sub-bucket's original steps in sub order
+                hb = dp._host_buckets[b.get("hb_index", i)]
+                src = b.get("src_steps")
+                sl = slice(None) if src is None else src
+                # the r==1 TPU arrays carry the pipe dummy step (or the group
+                # padding); the interp (native-dtype) path needs the ORIGINAL
+                # step arrays
                 sel = b.get("orig", (b["csel"], b["cselb"], b["hasb"],
                                      b["osel"], b["first"]))
                 b["interp_args"] = sel + (
-                    jnp.asarray(hb.values), jnp.asarray(hb.lidx),
-                    jnp.asarray(hb.onehot), jnp.asarray(hb.rbvec)[:, None, :],
+                    jnp.asarray(hb.values[sl]), jnp.asarray(hb.lidx[sl]),
+                    jnp.asarray(hb.onehot[sl]),
+                    jnp.asarray(hb.rbvec[sl])[:, None, :],
                     b["touched"],
                 )
             out.append(b["interp_args"])
