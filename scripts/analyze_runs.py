@@ -1,6 +1,7 @@
 """Quantify fusion run structure + the cross-window pairing headroom.
 
-For each fused-eligible bucket of a matrix's swell plan, reports:
+For each host bucket of a matrix's swell plan (reassembled from the device
+sub-buckets, so disk-cached plans work), reports:
   * run-length histogram (maximal same-(out, chunk-pair) runs, _scan_runs),
   * current modeled fused cost (per-run G, _fuse_partition arithmetic),
   * hypothetical cost if runs with the same resolved chunk pair in PAIRED
@@ -14,6 +15,7 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("SPMV_TPU_PLAN_CACHE", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -22,7 +24,7 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 
 from spmv_acc_tpu.ops.swell import (  # noqa: E402
-    _bucket_numpy, _fuse_ratios, _scan_runs, get_swell_plan)
+    _fuse_ratios, _scan_runs, get_swell_plan)
 
 
 def part_cost(lengths, ratios):
@@ -42,6 +44,36 @@ def part_cost(lengths, ratios):
     return tot, fused_steps
 
 
+def host_buckets(dp):
+    """Reassemble per-host-bucket original step arrays from dp.buckets."""
+    groups = {}
+    for b in dp.buckets:
+        hb = b.get("hb_index")
+        groups.setdefault(hb, []).append(b)
+    out = []
+    for hb, subs in sorted(groups.items()):
+        segs = []
+        for b in subs:
+            orig = b.get("orig")
+            if orig is None:  # r>1 / non-pipe bucket: arrays are already original
+                orig = (b["csel"], b["cselb"], b["hasb"], b["osel"], b["first"])
+            cs, cb, hbb, osl, fi = (np.asarray(a) for a in orig)
+            src = b.get("src_steps")
+            if src is None:
+                src = np.arange(len(osl))
+            segs.append((np.asarray(src), cs, cb, hbb, osl, fi))
+        src = np.concatenate([s[0] for s in segs])
+        order = np.argsort(src)
+        cat = [np.concatenate([s[i] for s in segs])[order] for i in range(1, 6)]
+        meta = subs[0]
+        out.append(dict(log2d=meta["log2d"], wide=meta["wide"],
+                        dual=any(bool(b["dual"]) for b in subs),
+                        classpos=meta["classpos"],
+                        csel=cat[0], cselb=cat[1], hasb=cat[2], osel=cat[3],
+                        first=cat[4]))
+    return out
+
+
 def main(name):
     from spmv_acc_tpu.formats.generate import example_like
 
@@ -50,9 +82,10 @@ def main(name):
     if dp.r != 1:
         print(f"{name}: BSR r={dp.r} — fusion not applicable")
         return
-    nbs = _bucket_numpy(dp.plan, np.float64)
+    nbs = host_buckets(dp)
     print(f"== {name}: m={dp.plan.rows} nnz={dp.plan.nnz} nout={dp.plan.nout} "
-          f"fill={dp.plan.fill_efficiency:.3f} steps={dp.plan.total_steps}")
+          f"fill={dp.plan.fill_efficiency:.3f} steps={dp.plan.total_steps} "
+          f"buckets={len(nbs)}", flush=True)
     for nb in nbs:
         osel = np.asarray(nb["osel"])
         n = len(osel)
@@ -68,37 +101,33 @@ def main(name):
         ratios = _fuse_ratios(cpos)
         lens = [len(r) for r in runs]
         cur, fused = part_cost(lens, ratios)
-        # resolved pair key per run (post-relaxation selectors)
         cs2 = csel.copy()
         cb2 = cselb.copy()
         for i, v in cf.items():
             cs2[i] = v
         for i, v in cbf.items():
             cb2[i] = v
-        # cross-window concat: merge runs with same (osel//2, pairkey)
-        merged = {}
-        for r in runs:
-            i = r[0]
-            a, b = int(cs2[i]), int(cb2[i]) if dual else int(cs2[i])
-            key = (int(osel[i]) // 2, min(a, b), max(a, b))
-            merged[key] = merged.get(key, 0) + len(r)
-        xcost, xfused = part_cost(list(merged.values()), ratios)
-        # 4-window blocks
-        merged4 = {}
-        for r in runs:
-            i = r[0]
-            a, b = int(cs2[i]), int(cb2[i]) if dual else int(cs2[i])
-            key = (int(osel[i]) // 4, min(a, b), max(a, b))
-            merged4[key] = merged4.get(key, 0) + len(r)
-        x4, _ = part_cost(list(merged4.values()), ratios)
-        hist = np.bincount(np.minimum(lens, 9))
+
+        def merged_cost(wdiv):
+            merged = {}
+            for r in runs:
+                i = r[0]
+                a = int(cs2[i])
+                b = int(cb2[i]) if dual else a
+                key = (int(osel[i]) // wdiv, min(a, b), max(a, b))
+                merged[key] = merged.get(key, 0) + len(r)
+            return part_cost(list(merged.values()), ratios)
+
+        xcost, xfused = merged_cost(2)
+        x4, _ = merged_cost(4)
+        hist = np.bincount(np.minimum(lens, 9), minlength=10)
         print(f"  D={1 << nb['log2d']:<3d} cpos={int(cpos)} dual={int(dual)} "
               f"steps={n:<6d} runs={len(runs):<6d} meanL={np.mean(lens):.2f} "
-              f"hist1-8+={list(hist[1:])} ")
+              f"hist1-8+={list(hist[1:])}", flush=True)
         print(f"      cost/step: now={cur / n:.3f} (fused {fused / n:.0%})  "
               f"pair2w={xcost / n:.3f}  pair4w={x4 / n:.3f}  "
               f"-> x2 gain {(cur - xcost) / n:.3f}/step "
-              f"({(cur - xcost) / max(cur, 1e-9):.1%})")
+              f"({(cur - xcost) / max(cur, 1e-9):.1%})", flush=True)
 
 
 if __name__ == "__main__":
