@@ -1,0 +1,101 @@
+"""A/B the mixed-G run decomposition (SPMV_TPU_FUSE_MIXG) on hardware.
+
+_fuse_partition's legacy choice pays ceil(L/G)*ratio(G) with ONE G per run;
+the DP decomposition (_decompose_run) splits runs into mixed-G segments
+(analyze_runs modeled gap: Hardesty3's D=4 bucket has 440 L=5 runs paying
+2*2.5 instead of 2.5+0.95).  This measures legacy vs mixed per matrix, with
+a golden verify per variant (summation order changes across sub-buckets).
+
+Usage: python scripts/ab_mixg.py [names...]   (default: the 4 modeled wins)
+"""
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+
+jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_spmv")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from spmv_acc_tpu.formats.generate import example_like, random_x_y  # noqa: E402
+from spmv_acc_tpu.ops import swell as S  # noqa: E402
+from spmv_acc_tpu.ops.golden import host_spmv_plain  # noqa: E402
+from spmv_acc_tpu.utils.stats import bytes_moved, chip_peak_gbs  # noqa: E402
+
+DEFAULT = ["Hardesty3", "boneS10", "vas_stokes_2M", "Bump_2911"]
+
+
+def measure(csr, dx, dy):
+    run = S.make_swell_run(csr, alpha=1.0, beta=0.0)
+    per = max(csr.nnz * 12 / 50e9, 2e-6)
+    iters = int(min(8192, max(64, 0.04 / per)))
+
+    def once(nn):
+        t = time.perf_counter()
+        r = run(dx, dy, nn)
+        np.asarray(jax.device_get(r.ravel()[:1]))
+        return time.perf_counter() - t
+
+    per_us = 0.0
+    for _ in range(3):
+        n0, n1 = 1 + iters // 4, 1 + iters
+        once(n0); once(n1)
+        lo = min(once(n0) for _ in range(3))
+        hi = min(once(n1) for _ in range(3))
+        per_us = max(hi - lo, 0.0) / (n1 - n0) * 1e6
+        if per_us > 0 and per_us * (n1 - n0) > 20e3:
+            break
+        iters = min(iters * 4, 65536)
+    return per_us
+
+
+def main():
+    names = sys.argv[1:] or DEFAULT
+    peak = chip_peak_gbs()
+    rows = []
+    for name in names:
+        csr = example_like(name, dtype=np.float64)
+        m, n = csr.shape
+        x, _ = random_x_y(n, m, seed=42, dtype=np.float64)
+        golden = host_spmv_plain(csr.row_ptr, csr.col_idx, csr.values, x)
+        gn = np.maximum(np.abs(golden), 1e-300)
+        dx, dy = jnp.asarray(x), jnp.asarray(np.zeros(m))
+        res = {}
+        for policy in ("legacy", "mixg"):
+            os.environ["SPMV_TPU_FUSE_MIXG"] = "0" if policy == "legacy" else "1"
+            S._SWELL_CACHE.clear()
+            dp = S.get_swell_plan(csr, np.float64)
+            nsub = len(dp.buckets)
+            tot = sum(int(b["osel"].shape[0]) for b in dp.buckets)
+            y = np.asarray(S.spmv_swell(csr, x, refine=False))
+            err = float(np.max(np.abs(y - golden) / gn))
+            us = measure(csr, dx, dy)
+            rf = (bytes_moved(m, csr.nnz, 8) / (us * 1e-6) / 1e9 / peak
+                  if us > 0 else 0.0)
+            res[policy] = (us, rf)
+            print(f"  {name:14s} {policy:6s} {us:8.1f}us rf={rf:.3f} "
+                  f"subbuckets={nsub} grid_steps={tot} maxrel={err:.2e}",
+                  flush=True)
+        os.environ.pop("SPMV_TPU_FUSE_MIXG", None)
+        S._SWELL_CACHE.clear()
+        rows.append((name, res))
+    print("\nname            legacy_rf mixg_rf  delta")
+    gm = 0.0
+    for name, res in rows:
+        l, x2 = res["legacy"][1], res["mixg"][1]
+        gm += math.log(max(x2 / max(l, 1e-9), 1e-9))
+        print(f"{name:14s}  {l:.3f}    {x2:.3f}   {100*(x2/l-1):+.1f}%")
+    if rows:
+        print(f"geomean mixg/legacy: {math.exp(gm/len(rows)):.4f}")
+
+
+if __name__ == "__main__":
+    main()

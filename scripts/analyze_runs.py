@@ -24,7 +24,17 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 
 from spmv_acc_tpu.ops.swell import (  # noqa: E402
-    _fuse_ratios, _scan_runs, get_swell_plan)
+    _decompose_run, _fuse_ratios, _scan_runs, get_swell_plan)
+
+
+def mixg_cost(lengths, ratios):
+    """Modeled step-units under the mixed-G DP decomposition (production
+    default since the SPMV_TPU_FUSE_MIXG landing)."""
+    tot = 0.0
+    for L in lengths:
+        for G, take in _decompose_run(L, ratios):
+            tot += 0.95 if G == 1 else ratios[G]
+    return tot
 
 
 def part_cost(lengths, ratios):
@@ -124,7 +134,9 @@ def main(name):
         print(f"  D={1 << nb['log2d']:<3d} cpos={int(cpos)} dual={int(dual)} "
               f"steps={n:<6d} runs={len(runs):<6d} meanL={np.mean(lens):.2f} "
               f"hist1-8+={list(hist[1:])}", flush=True)
-        print(f"      cost/step: now={cur / n:.3f} (fused {fused / n:.0%})  "
+        mg = mixg_cost(lens, ratios)
+        print(f"      cost/step: single-G={cur / n:.3f} (fused {fused / n:.0%})  "
+              f"mixG={mg / n:.3f} ({(cur - mg) / max(cur, 1e-9):+.1%})  "
               f"pair2w={xcost / n:.3f}  pair4w={x4 / n:.3f}  "
               f"-> x2 gain {(cur - xcost) / n:.3f}/step "
               f"({(cur - xcost) / max(cur, 1e-9):.1%})", flush=True)

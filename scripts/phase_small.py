@@ -79,8 +79,9 @@ def main():
         sub_bargs = bargs[:j]
         sub_l2 = log2ds[:j]
         sub_db = dboths[:j] if dboths else dboths
+        sub_fu = fuseds[:j] if fuseds else fuseds
         st_j = (is64, interp, nout, nchunks, copies, tile_rb, rows, delta,
-                sub_l2, r, pipe, sub_db)
+                sub_l2, r, pipe, sub_db, sub_fu)
         t = timed(lambda xx: S.swell_ax(sub_bargs, (tail[0][:0], tail[1][:0],
                                                     tail[2][:0]), xx, st_j), dx)
         print(f"prep+buckets[0:{j}]: {t:.1f} us/iter")

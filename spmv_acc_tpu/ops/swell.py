@@ -857,26 +857,66 @@ def _scan_runs(csel, cselb, hasb, osel, first, dual):
     return runs, csel_fix, cselb_fix
 
 
+def _decompose_run(L, ratios):
+    """Optimal MIXED-G decomposition of an L-step run into fused groups.
+
+    DP over group arities: a group of arity G covers up to G consecutive
+    steps (zero-value dummy halves pad the shortfall and cost the same
+    iteration either way), so dp[l] = min_G dp[l - min(G, l)] + ratio(G).
+    A single bucket-wide-G choice pays ceil(L/G)*ratio(G) — e.g. an L=5
+    row-packed run costs 2*2.5 at G=4 but 2.5+0.95 as (G=4)+(G=1), and an
+    L=9 run 5*1.45 at best single-G but 4.35+0.95 as (G=8)+(G=1).  Unfused
+    steps cost 0.95 (the 5% margin: iter ratios carry ~5% spread).
+    Returns [(G, take)] segments in run order."""
+    opts = ((1, 0.95),) + tuple(sorted(ratios.items()))
+    dp = [0.0] * (L + 1)
+    choice = [None] * (L + 1)
+    for l in range(1, L + 1):
+        best = None
+        for G, rr in opts:
+            c = dp[l - min(G, l)] + rr
+            if best is None or c < best:
+                best, choice[l] = c, (G, min(G, l))
+        dp[l] = best
+    segs = []
+    l = L
+    while l:
+        G, take = choice[l]
+        segs.append((G, take))
+        l -= take
+    segs.reverse()
+    return segs
+
+
 def _fuse_partition(csel, cselb, hasb, osel, first, classpos, dual):
-    """PER-RUN fusion arity: each maximal run picks the G in {1,2,4,8} that
-    minimizes ceil(L/G) * ratio(G) step-units, and runs are partitioned into
+    """PER-RUN fusion arity: each maximal run is decomposed into MIXED-G
+    segments (_decompose_run DP; SPMV_TPU_FUSE_MIXG=0 pins the legacy
+    single-G-per-run choice for A/B), and segments are partitioned into
     per-G sub-buckets (each compiles its own kernel; the ~3us extra pallas
-    call is noise next to the saved step-units).  This captures the
-    run-evening headroom a single bucket-wide G leaves on the table (measured
-    model gap: Hardesty3 12.4%, boneS10 9.4% of step cost) without touching
-    the packing.  G-classes under 8 original steps demote to G=1 (the pipe
-    transform serves them better than dummy-diluted groups).
+    call is noise next to the saved step-units).  Windows split across
+    sub-buckets chain through the HBM-aliased accumulator, so a run's
+    segments may live in different sub-buckets — this captures the
+    run-evening headroom a per-run G left on the table (modeled
+    analyze_runs gap: Hardesty3's D=4 bucket has 440 L=5 runs paying
+    2*ratio(4) each).  G-classes under 8 original steps demote to G=1 (the
+    pipe transform serves them better than dummy-diluted groups).
 
     Returns (parts, csel_fix, cselb_fix): parts maps G -> ordered list of
-    RUNS (each a list of step indices, NOT yet dummy-padded); None when no
-    run fuses."""
+    RUN SEGMENTS (each a list of step indices, NOT yet dummy-padded); None
+    when no segment fuses."""
     runs, cf, cbf = _scan_runs(csel, cselb, hasb, osel, first, dual)
     ratios = _fuse_ratios(classpos)
+    mixg = os.environ.get("SPMV_TPU_FUSE_MIXG", "1") != "0"
     parts = {}
     for grp in runs:
         L = len(grp)
-        # fused G must beat the unfused run cost by a 5% margin (the iter
-        # ratios carry ~5% measurement spread)
+        if mixg:
+            pos = 0
+            for G, take in _decompose_run(L, ratios):
+                parts.setdefault(G, []).append(grp[pos : pos + take])
+                pos += take
+            continue
+        # legacy: one G per run, fused only if it beats 0.95*L
         best_g, best_c = 1, 0.95 * L
         for G, rr in ratios.items():
             c = -(-L // G) * rr
