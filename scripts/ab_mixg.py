@@ -75,7 +75,8 @@ def main():
             dp = S.get_swell_plan(csr, np.float64)
             nsub = len(dp.buckets)
             tot = sum(int(b["osel"].shape[0]) for b in dp.buckets)
-            y = np.asarray(S.spmv_swell(csr, x, refine=False))
+            # raw kernel result (no cancellation-refine): the A/B compares kernels
+            y = np.asarray(S.swell_spmv_f64(dp, dx))[:m]
             err = float(np.max(np.abs(y - golden) / gn))
             us = measure(csr, dx, dy)
             rf = (bytes_moved(m, csr.nnz, 8) / (us * 1e-6) / 1e9 / peak

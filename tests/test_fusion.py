@@ -1,0 +1,91 @@
+"""Host-side invariants of the vertical-step-fusion partition machinery.
+
+The end-to-end interpret tests (test_swell.py) already execute the per-G
+sub-bucket SPLIT (the interpret path consumes each sub-bucket's dummy-free
+``orig`` arrays), but the pure host logic — the mixed-G DP decomposition and
+the run partition — had no direct tests.  Reference analog for the grouping
+idea: the double-buffered row batching of
+/root/reference/src/acc/hip-vector-row/opt_double_buffer.hpp:104-291.
+"""
+import numpy as np
+import pytest
+
+from spmv_acc_tpu.ops.swell import (
+    _decompose_run,
+    _fuse_partition,
+    _fuse_ratios,
+    _scan_runs,
+)
+
+
+@pytest.mark.parametrize("classpos", [False, True])
+@pytest.mark.parametrize("L", list(range(1, 40)) + [63, 64, 100, 257])
+def test_decompose_run_covers_and_beats_single_g(L, classpos):
+    ratios = _fuse_ratios(classpos)
+    segs = _decompose_run(L, ratios)
+    # full disjoint cover in order
+    assert sum(take for _, take in segs) == L
+    for G, take in segs:
+        assert take >= 1
+        assert take <= G
+    # DP cost must not exceed the best single-G cost (incl. unfused)
+    def cost(segs):
+        return sum(0.95 if G == 1 else ratios[G] for G, _ in segs)
+
+    best_single = min(
+        [0.95 * L] + [-(-L // G) * r for G, r in ratios.items()])
+    assert cost(segs) <= best_single + 1e-9
+
+
+def test_scan_runs_partitions_all_steps():
+    rng = np.random.default_rng(0)
+    n = 200
+    osel = np.sort(rng.integers(0, 12, n)).astype(np.int64)
+    csel = rng.integers(0, 5, n).astype(np.int64)
+    cselb = rng.integers(0, 5, n).astype(np.int64)
+    hasb = rng.integers(0, 3, n).astype(np.int64)
+    first = np.zeros(n, np.int64)
+    first[0] = 1
+    first[1:] = (osel[1:] != osel[:-1]).astype(np.int64)
+    runs, cf, cbf = _scan_runs(csel, cselb, hasb, osel, first, dual=True)
+    seen = np.concatenate([np.asarray(r) for r in runs])
+    assert np.array_equal(np.sort(seen), np.arange(n))
+    # runs are consecutive index ranges sharing one out window
+    for r in runs:
+        assert np.array_equal(np.asarray(r), np.arange(r[0], r[-1] + 1))
+        assert len(set(int(osel[i]) for i in r)) == 1
+    # selector rewrites only touch don't-care sides (hasb==2 -> a unused,
+    # hasb==0 -> b unused)
+    for i, v in cf.items():
+        assert hasb[i] == 2
+    for i, v in cbf.items():
+        assert hasb[i] == 0
+
+
+@pytest.mark.parametrize("classpos", [False, True])
+def test_fuse_partition_exact_cover(classpos):
+    rng = np.random.default_rng(1)
+    n = 500
+    osel = np.sort(rng.integers(0, 30, n)).astype(np.int64)
+    csel = np.repeat(rng.integers(0, 3, 50), 10)[:n].astype(np.int64)
+    cselb = csel.copy()
+    hasb = np.zeros(n, np.int64)
+    first = np.zeros(n, np.int64)
+    first[0] = 1
+    first[1:] = (osel[1:] != osel[:-1]).astype(np.int64)
+    parts, cf, cbf = _fuse_partition(csel, cselb, hasb, osel, first,
+                                     classpos, dual=False)
+    if parts is None:
+        pytest.skip("no segment fused on this layout")
+    all_idx = np.concatenate(
+        [np.concatenate([np.asarray(s) for s in segs])
+         for segs in parts.values()])
+    assert np.array_equal(np.sort(all_idx), np.arange(n))
+    for G, segs in parts.items():
+        for s in segs:
+            # a segment never exceeds its arity and stays consecutive
+            assert len(s) <= max(G, len(s)) if G == 1 else len(s) <= G
+            assert np.array_equal(np.asarray(s),
+                                  np.arange(s[0], s[-1] + 1))
+        if G > 1:
+            assert sum(len(s) for s in segs) >= 8  # demotion threshold
