@@ -78,6 +78,10 @@ def main():
             # raw kernel result (no cancellation-refine): the A/B compares kernels
             y = np.asarray(S.swell_spmv_f64(dp, dx))[:m]
             err = float(np.max(np.abs(y - golden) / gn))
+            # golden gate per variant: 5e-7 sits above the documented ~1.9e-7
+            # statistical two-f32 cancellation floor of the RAW (unrefined)
+            # kernels but catches any real numeric break before it feeds timings
+            assert err < 5e-7, f"{name}/{policy}: raw maxrel {err:.2e} >= 5e-7"
             us = measure(csr, dx, dy)
             rf = (bytes_moved(m, csr.nnz, 8) / (us * 1e-6) / 1e9 / peak
                   if us > 0 else 0.0)

@@ -32,6 +32,23 @@ class sparse_operation:
     SPARSE_OPERATION_TRANSPOSE = "T"
 
 
+def _asarray_nodowncast(values) -> jax.Array:
+    """``jnp.asarray`` that refuses to silently narrow float values.
+
+    With ``jax_enable_x64`` off, ``jnp.asarray(float64_array)`` quietly produces
+    f32 — downstream plans then crash (or verify wrong) far from the cause.
+    Callers who want the narrowing must cast explicitly before constructing."""
+    arr = np.asarray(values)
+    out = jnp.asarray(arr)
+    if np.issubdtype(arr.dtype, np.floating) and out.dtype.itemsize < arr.dtype.itemsize:
+        raise ValueError(
+            f"silent float downcast {arr.dtype} -> {out.dtype} (jax_enable_x64="
+            f"{jax.config.jax_enable_x64}); cast values explicitly "
+            f"(values.astype) or enable x64 before constructing the container"
+        )
+    return out
+
+
 def _register(cls, data_fields, static_fields):
     def flatten(obj):
         return (
@@ -85,7 +102,7 @@ class CSR:
         return CSR(
             jnp.asarray(np.asarray(row_ptr), dtype=jnp.int32),
             jnp.asarray(np.asarray(col_idx), dtype=jnp.int32),
-            jnp.asarray(np.asarray(values)),
+            _asarray_nodowncast(values),
             (int(shape[0]), int(shape[1])),
         )
 
@@ -116,7 +133,7 @@ class COO:
         return COO(
             jnp.asarray(np.asarray(rows), dtype=jnp.int32),
             jnp.asarray(np.asarray(cols), dtype=jnp.int32),
-            jnp.asarray(np.asarray(values)),
+            _asarray_nodowncast(values),
             (int(shape[0]), int(shape[1])),
         )
 

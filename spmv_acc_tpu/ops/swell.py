@@ -1607,6 +1607,15 @@ def _plan_cache_load(path, dtype):
 def get_swell_plan(csr, dtype) -> _DeviceSwellPlan:
     import os
 
+    # Fail at the API boundary, not 50 frames deep in _pack_bucket: an f64 plan
+    # over f32 values packs two value planes (hi/lo) the single-plane build
+    # never produced (the gate-6 crash of MULTICHIP_r03).
+    if np.dtype(dtype) == np.float64 and csr.values.dtype != jnp.float64:
+        raise ValueError(
+            f"get_swell_plan(dtype=float64) requires float64 CSR values, got "
+            f"{csr.values.dtype} (jax_enable_x64={jax.config.jax_enable_x64}); "
+            f"build the CSR in f64 or request a float32 plan"
+        )
     key = (id(csr.row_ptr), csr.shape, csr.nnz, "swell", np.dtype(dtype).str)
     hit = _SWELL_CACHE.get(key)
     # the cached entry holds a reference to the keyed array so its id() cannot be

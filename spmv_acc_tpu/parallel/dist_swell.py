@@ -40,7 +40,8 @@ from ..ops.swell import (CHUNK_W, CW, _bucket_args, _interpret, _statics,
                          get_swell_plan, swell_ax)
 
 __all__ = ["DistSwellPlan", "build_dist_swell", "dist_swell_spmv_fn",
-           "dist_swell_halo_spmv_fn", "dist_swell_cg_solve", "pad_global"]
+           "dist_swell_halo_spmv_fn", "dist_swell_serial_fn", "dist_swell_cg_solve",
+           "pad_global"]
 
 _CS = CHUNK_W * CW  # columns (node-granular for BSR plans) per x chunk
 
@@ -309,6 +310,72 @@ def dist_swell_spmv_fn(dsp: DistSwellPlan, mesh: Mesh, axis: str = "x",
     @jax.jit
     def run(x_sharded):
         return _shard_fn(*args_stacked, x_sharded)
+
+    return run
+
+
+def dist_swell_serial_fn(dsp: DistSwellPlan):
+    """Structure-for-structure single-device baseline for the weak-scaling gate:
+    the SAME stacked per-shard plan (identical kernel shapes, step slices, and
+    padding as the distributed program) executed shard-by-shard on ONE device,
+    with local x windows sliced from the full padded vector instead of being
+    exchanged over the mesh.  ``T_serial / T_dist`` then isolates exactly what
+    distribution adds (collectives, sharding, rendezvous) — unlike a separately
+    planned global run, whose bucket mix differs with matrix size (the broken
+    SCALING_r03 baseline).  Returns a jitted ``x_padded -> y_padded`` function."""
+    D = dsp.num_shards
+    L = dsp.rows_local
+    st = dsp.statics
+    flat, treedef = jax.tree_util.tree_flatten((dsp.bucket_args, dsp.tail))
+    nb = len(flat)
+    args_stacked = []
+    for a in flat:
+        if a.ndim >= 1 and a.shape[0] == D:
+            args_stacked.append(a)
+        else:
+            args_stacked.append(jnp.broadcast_to(a[None], (D,) + a.shape))
+
+    if dsp.halo_ok:
+        Wc = dsp.win_chunks
+        r = st[9]
+        delta = st[7]
+        win_elems = Wc * _CS * r
+        # global element offset of each shard's chunk window (can be negative at
+        # shard 0 / overrun at shard D-1 — covered by the PL/PR zero margins the
+        # halo path also fabricates)
+        off_glob = (dsp.chunk_lo.astype(np.int64) * _CS - delta) * r
+        PL = int(max(0, -int(off_glob.min())))
+        PR = int(max(0, int((off_glob + win_elems).max()) - D * L))
+        offs = jnp.asarray((off_glob + PL).astype(np.int32))
+        statics = (st[0], st[1], st[2], Wc, st[4], st[5], st[6], 0, st[8], st[9],
+                   False, st[11], (False,) * len(st[8]))
+
+        @jax.jit
+        def run(x_pad):
+            xg = jnp.concatenate([
+                jnp.zeros((PL,), x_pad.dtype), x_pad, jnp.zeros((PR,), x_pad.dtype),
+            ])
+            outs = []
+            for d in range(D):
+                local = [a[d] for a in args_stacked[:nb]]
+                bargs, tail = jax.tree_util.tree_unflatten(treedef, local)
+                xwin = jax.lax.dynamic_slice(xg, (offs[d],), (win_elems,))
+                outs.append(swell_ax(bargs, tail, xwin, statics))
+            return jnp.concatenate(outs)
+
+        return run
+
+    n = dsp.shape[1]
+
+    @jax.jit
+    def run(x_pad):
+        x_full = x_pad[:n]
+        outs = []
+        for d in range(D):
+            local = [a[d] for a in args_stacked[:nb]]
+            bargs, tail = jax.tree_util.tree_unflatten(treedef, local)
+            outs.append(swell_ax(bargs, tail, x_full, st))
+        return jnp.concatenate(outs)
 
     return run
 

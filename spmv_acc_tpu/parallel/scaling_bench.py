@@ -20,24 +20,28 @@ import numpy as np
 
 
 def run_weak_scaling(device_counts, rows_per_device=32768, avg_nnz=16, iters=20,
-                     dtype=np.float64, engine="swell"):
+                     dtype=None, engine="swell"):
     """``engine='swell'`` (default): the flagship kernels as local compute
     (parallel/dist_swell.py, auto 1-hop halo) — rows_per_device >= 32768 so
     shard blocks span whole x chunks and the halo window fits.
     ``engine='gather'``: XLA gather/segment-sum local compute (halo when
-    feasible).
+    feasible).  ``dtype=None`` follows ``jax_enable_x64`` (f64 when on, f32
+    otherwise) so driver environments without x64 don't trip the containers'
+    silent-downcast guard.
 
     Efficiency metrics: ``efficiency`` is true weak-scaling parallel efficiency
     (per-device rate vs D=1) — meaningful ONLY on real multi-chip hardware.  On
     a virtual CPU mesh every "device" shares one host, so compute serializes
     and this metric trends to 1/D by construction.  The structural gate there
-    is ``structural_efficiency`` = T_single(m_D)/T_dist(D, m_D): the SAME
-    matrix timed global-single-device vs distributed over D virtual devices —
-    near 1.0 iff distribution (out-window partitioning, halo exchange,
-    collectives) adds no overhead beyond the serialized compute.  (The naive
-    D*T(1)/T(D) cross-size ratio is NOT comparable: the packing's depth-bucket
-    mix changes with matrix size, e.g. banded-17 steps jump 24 -> 160 between
-    m=262144 and m=524288 while fill IMPROVES 0.833 -> 0.9.)"""
+    is ``structural_efficiency`` = T_serial(D, m_D)/T_dist(D, m_D): the SAME
+    stacked per-shard plan run shard-by-shard on one device
+    (dist_swell_serial_fn — identical kernel shapes and step slices) vs run
+    distributed — near 1.0 iff distribution (halo exchange, collectives,
+    sharding) adds no overhead beyond the serialized compute.  (A separately
+    planned global single-device run is NOT comparable: the packing's
+    depth-bucket mix changes with matrix size, e.g. banded-17 steps jump
+    24 -> 160 between m=262144 and m=524288 while fill IMPROVES 0.833 -> 0.9 —
+    the broken SCALING_r03 baseline read 4.69.)"""
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +53,8 @@ def run_weak_scaling(device_counts, rows_per_device=32768, avg_nnz=16, iters=20,
     from .dist_spmv import dist_spmv_fn, dist_spmv_halo_fn, halo_feasible
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if dtype is None:
+        dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
     results = []
     base_rate = None
     for d in device_counts:
@@ -95,21 +101,25 @@ def run_weak_scaling(device_counts, rows_per_device=32768, avg_nnz=16, iters=20,
         from ..utils.timer import time_device_loop
 
         per_us, _ = time_device_loop(step, x, iters=iters)
-        # structural reference: the SAME matrix, global single-device swell
+        # structural baseline: the SAME stacked per-shard plan, serialized on
+        # one device (identical kernel shapes; no collectives/sharding)
         single_us = None
         if engine == "swell" and jax.default_backend() != "tpu":
-            from ..ops.swell import (_bucket_args, _interpret, _statics,
-                                     get_swell_plan, swell_ax)
+            from .dist_swell import dist_swell_serial_fn
 
-            dpg = get_swell_plan(csr, dtype)
-            interp = _interpret()
-            gargs, gst, gtail = _bucket_args(dpg, interp), _statics(dpg, interp), dpg.tail
+            run_ser = dist_swell_serial_fn(dsp)
+            # the baseline must COMPUTE THE SAME THING (lesson: a broken A/B
+            # arm that XLA DCEs reads absurdly fast) — cross-check once
+            y_ser = np.asarray(run_ser(jax.device_get(x)))
+            y_dist = np.asarray(run_sw(x))
+            np.testing.assert_allclose(y_ser, y_dist, rtol=1e-6, atol=1e-12,
+                                       err_msg="serial baseline != dist output")
 
             def step1(v):
-                y = swell_ax(gargs, gtail, v, gst)[: csr.rows]
+                y = run_ser(v)
                 return y * (1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
 
-            v0 = jnp.ones((csr.rows,), dtype=csr.values.dtype)
+            v0 = jnp.ones((dsp.padded_len,), dtype=csr.values.dtype)
             single_us, _ = time_device_loop(step1, v0, iters=iters)
         rate = csr.nnz / (per_us * 1e-6) if per_us > 0 else 0.0
         per_dev = rate / d

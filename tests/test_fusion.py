@@ -83,8 +83,10 @@ def test_fuse_partition_exact_cover(classpos):
     assert np.array_equal(np.sort(all_idx), np.arange(n))
     for G, segs in parts.items():
         for s in segs:
-            # a segment never exceeds its arity and stays consecutive
-            assert len(s) <= max(G, len(s)) if G == 1 else len(s) <= G
+            # a segment never exceeds its arity and stays consecutive; demoted
+            # G=1 segments carry whole unfused remainders and may be longer
+            if G > 1:
+                assert len(s) <= G
             assert np.array_equal(np.asarray(s),
                                   np.arange(s[0], s[-1] + 1))
         if G > 1:
