@@ -161,8 +161,11 @@ def main(argv=None) -> int:
         "structural_only": jax.default_backend() != "tpu",
         "note": ("virtual CPU mesh serializes device compute on one host: "
                  "'efficiency' trends to 1/D by construction there; "
-                 "'structural_efficiency' (same matrix, single-device vs "
-                 "distributed wall time) is the structural gate"),
+                 "'structural_efficiency' (the SAME stacked per-shard plan "
+                 "serialized on one device vs distributed, dist_swell_serial_fn) "
+                 "is the structural gate — ~1.0 iff distribution adds no "
+                 "overhead; readings slightly >1 mean the mesh overlapped "
+                 "host work the serial program runs back-to-back"),
     }
     print(json.dumps(doc))
     if args.out:
