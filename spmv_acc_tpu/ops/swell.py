@@ -1545,7 +1545,7 @@ def _plan_cache_path(rp, ci, v, shape, dtype):
     pins = ",".join(
         f"{k}={os.environ.get(k, '')}"
         for k in ("SPMV_TPU_FORCE_MERGE", "SPMV_TPU_FORCE_CPOS", "SPMV_TPU_NO_ABSORB",
-                  "SPMV_TPU_BSR", "SPMV_TPU_NO_BSR")
+                  "SPMV_TPU_BSR", "SPMV_TPU_NO_BSR", "SPMV_TPU_FORCE_COLLAPSE")
     )
     if len(ci) <= SMALL_MERGE_NNZ and not os.environ.get("SPMV_TPU_FORCE_MERGE"):
         # size-aware default policy (single below the threshold) — tag ONLY the
