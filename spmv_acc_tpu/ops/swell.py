@@ -617,8 +617,8 @@ def _make_f64_kernel(log2d: int, wide: bool, dual: bool, classpos: bool, r: int 
 
 def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
                        is64: bool, acc: int = 0, dboth: bool = False,
-                       G: int = 2):
-    """VERTICAL STEP FUSION (r=1, k=1): G same-(out,chunk) steps per grid
+                       G: int = 2, k: int = 1):
+    """VERTICAL STEP FUSION (r=1): G same-(out,chunk) steps per grid
     iteration.  The swell step is chain-latency bound (~900ns chain vs ~400ns
     max unit; PERF_NOTES) and Mosaic neither overlaps compute across grid steps
     nor interleaves independent chains — but a TALL op is a single instruction:
@@ -631,10 +631,18 @@ def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
     of the G sub-steps reproduces G consecutive grid steps' accumulation
     exactly, and all-zero dummy sub-steps pad short groups (exact zeros
     through products, tables, occupancy and scatter).  Dual buckets must be
-    dboth (no 3-way pl.when build)."""
+    dboth (no 3-way pl.when build).
+
+    ``k > 1`` (multi-RHS SpMM, VERDICT r3 #4): the k columns share the group's
+    packed values+index DMA AND its one-hot table matmul (the wide rhs holds
+    all k slices' planes); per column only the gather/products/fold/scatter
+    repeat.  Output tile c occupies rows [c*(2)*ROUT, (c+1)*(2)*ROUT) like the
+    unfused k kernels (reference economics analog: benchmark/csr_spmv.hpp:48-74
+    applied per-engine)."""
     P, boff, ohw, nval, W = _packed_rows(log2d, is64, wide, 1)
     D = 1 << log2d
     nrows_t = boff + P if wide else P
+    OW = (2 if is64 else 1) * ROUT  # per-column output rows
 
     def kernel(csel_r, cselb_r, hasb_r, osel_r, first_r, packed_ref, chunk_ref,
                *rest):
@@ -656,13 +664,24 @@ def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
              for b in bs], 0)  # (G*nrows_t, 128)
         ca = chunk_ref[0]
         cb = chunkb_ref[0] if dual else None
-        bases = [0, 3] if is64 else [0]
-        if dual:  # dboth: unconditional both-sides build, ONE taller matmul/side
-            sw = (_dot1((oh2 & 1).astype(jnp.bfloat16), ca)
-                  + _dot1((oh2 >> 1).astype(jnp.bfloat16), cb))
-        else:
-            sw = _dot1(oh2.astype(jnp.bfloat16), ca)
-        sets = _assemble_sets(sw, bases)
+        oh_a = (oh2 & 1).astype(jnp.bfloat16) if dual else oh2.astype(jnp.bfloat16)
+        oh_b = (oh2 >> 1).astype(jnp.bfloat16) if dual else None
+        # x-slice c's hi planes at lane blocks [6c, 6c+3), lo at [6c+3, 6c+6)
+        # (f32: 3 planes per slice) — matches _prep_x_pure's lane layout.
+        # k > 1 builds tables PER COLUMN from a lane-sliced rhs: one G*k-wide
+        # matmul result is (G*nrows_t, 768k) f32 and blew the 16MB scoped-VMEM
+        # limit at G=4,k=8 on boneS10 (19.5M); the per-column slices bound the
+        # live table buffer to the k=1 width.
+        spl = 6 * CW if is64 else 3 * CW  # lanes per x slice
+
+        def build_sets(c):
+            ca_c = ca[:, c * spl : (c + 1) * spl]
+            if dual:  # dboth: unconditional both-sides build
+                sw = (_dot1(oh_a, ca_c)
+                      + _dot1(oh_b, cb[:, c * spl : (c + 1) * spl]))
+            else:
+                sw = _dot1(oh_a, ca_c)
+            return _assemble_sets(sw, [0, 3] if is64 else [0])
 
         def ex2(t):  # stacked per-sub-step table expansion -> (G*128,128)
             mains = [_expand_tile(t[g * nrows_t : g * nrows_t + P], D, P)
@@ -674,90 +693,105 @@ def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
                                  D, P) for g in range(G)]
             return main, jnp.concatenate(alts, 0)
 
-        tha, thb = ex2(sets[0])
-        gh = _gather_sel(tha, thb, idx) if wide else _lane_gather(tha, idx)
-        p = vh * gh
-        if is64:
-            tla, tlb = ex2(sets[1])
-            gl = _gather_sel(tla, tlb, idx) if wide else _lane_gather(tla, idx)
-            bh, bl = _split(gh)
-            ah, al = _split(vh)
-            e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-            e = e + (vh * gl + (vl * gh + vl * gl))
-            e3 = e.reshape(G, 128, 128)
-        p3 = p.reshape(G, 128, 128)
-        for _lv in range(log2d):
-            half = p3.shape[1] // 2
-            a, b = p3[:, :half], p3[:, half:]
-            ssum = a + b
+        # per-column (G, 128, 128) folded partials; the packed operands and the
+        # table matmul above are shared across columns
+        subs_p_c: list = []
+        subs_e_c: list = []
+        for c in range(k):
+            sets = build_sets(c)
+            tha, thb = ex2(sets[0])
+            gh = _gather_sel(tha, thb, idx) if wide else _lane_gather(tha, idx)
+            p = vh * gh
             if is64:
-                bb = ssum - a
-                err = (a - (ssum - bb)) + (b - bb)
-                e3 = e3[:, :half] + e3[:, half:] + err
-            p3 = ssum
-        subs_p = [p3[g] for g in range(G)]
-        subs_e = [e3[g] for g in range(G)] if is64 else [None] * G
-        if classpos and log2d == 0:
-            pass
-        elif classpos:
-            for g, b in enumerate(bs):
-                occ = b[nval + 33 + ohw : nval + 34 + ohw]
-                mk = _mask_col(occ)
-                subs_p[g] = _expand_tile(subs_p[g], D, P) * mk
+                tla, tlb = ex2(sets[1])
+                gl = _gather_sel(tla, tlb, idx) if wide else _lane_gather(tla, idx)
+                bh, bl = _split(gh)
+                ah, al = _split(vh)
+                e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+                e = e + (vh * gl + (vl * gh + vl * gl))
+                e3 = e.reshape(G, 128, 128)
+            p3 = p.reshape(G, 128, 128)
+            for _lv in range(log2d):
+                half = p3.shape[1] // 2
+                a, b = p3[:, :half], p3[:, half:]
+                ssum = a + b
                 if is64:
-                    subs_e[g] = _expand_tile(subs_e[g], D, P) * mk
-        else:
-            for g, b in enumerate(bs):
-                rb = b[nval + 32 + ohw : nval + 33 + ohw]
-                tensors = (subs_p[g], subs_e[g]) if is64 else (subs_p[g],)
-                outs = _scatter_exact(rb, tensors, P)
-                subs_p[g] = outs[0]
-                if is64:
-                    subs_e[g] = outs[1]
+                    bb = ssum - a
+                    err = (a - (ssum - bb)) + (b - bb)
+                    e3 = e3[:, :half] + e3[:, half:] + err
+                p3 = ssum
+            subs_p = [p3[g] for g in range(G)]
+            subs_e = [e3[g] for g in range(G)] if is64 else [None] * G
+            if classpos and log2d == 0:
+                pass
+            elif classpos:
+                for g, b in enumerate(bs):
+                    occ = b[nval + 33 + ohw : nval + 34 + ohw]
+                    mk = _mask_col(occ)
+                    subs_p[g] = _expand_tile(subs_p[g], D, P) * mk
+                    if is64:
+                        subs_e[g] = _expand_tile(subs_e[g], D, P) * mk
+            else:
+                for g, b in enumerate(bs):
+                    rb = b[nval + 32 + ohw : nval + 33 + ohw]
+                    tensors = (subs_p[g], subs_e[g]) if is64 else (subs_p[g],)
+                    outs = _scatter_exact(rb, tensors, P)
+                    subs_p[g] = outs[0]
+                    if is64:
+                        subs_e[g] = outs[1]
+            subs_p_c.append(subs_p)
+            subs_e_c.append(subs_e)
         first = first_r[s]
 
-        def chain64(cur, cure, start):
+        def chain64(cur, cure, start, c):
             # sequential per-sub-step Knuth 2Sum — identical rounding to G
             # consecutive production grid steps
             for g in range(start, G):
-                s1 = cur + subs_p[g]
+                s1 = cur + subs_p_c[c][g]
                 b1 = s1 - cur
-                e1 = (cur - (s1 - b1)) + (subs_p[g] - b1)
-                cure = cure + subs_e[g] + e1
+                e1 = (cur - (s1 - b1)) + (subs_p_c[c][g] - b1)
+                cure = cure + subs_e_c[c][g] + e1
                 cur = s1
             return cur, cure
 
         @pl.when(first == 1)
         def _():
-            if is64:
-                if acc == 2:
-                    cur, cure = chain64(acc_ref[0, :ROUT], acc_ref[0, ROUT:], 0)
+            for c in range(k):
+                hi_sl = slice(c * OW, c * OW + ROUT)
+                er_sl = slice(c * OW + ROUT, (c + 1) * OW)
+                if is64:
+                    if acc == 2:
+                        cur, cure = chain64(acc_ref[0, hi_sl], acc_ref[0, er_sl],
+                                            0, c)
+                    else:
+                        cur, cure = chain64(subs_p_c[c][0], subs_e_c[c][0], 1, c)
+                    o_ref[0, hi_sl] = cur
+                    o_ref[0, er_sl] = cure
                 else:
-                    cur, cure = chain64(subs_p[0], subs_e[0], 1)
-                o_ref[0, :ROUT] = cur
-                o_ref[0, ROUT:] = cure
-            else:
-                if acc == 2:
-                    tot = acc_ref[0, :ROUT]
-                    for g in range(G):
-                        tot = tot + subs_p[g]
-                else:
-                    tot = subs_p[0]
-                    for g in range(1, G):
-                        tot = tot + subs_p[g]
-                o_ref[0, :ROUT] = tot
+                    if acc == 2:
+                        tot = acc_ref[0, hi_sl]
+                        for g in range(G):
+                            tot = tot + subs_p_c[c][g]
+                    else:
+                        tot = subs_p_c[c][0]
+                        for g in range(1, G):
+                            tot = tot + subs_p_c[c][g]
+                    o_ref[0, hi_sl] = tot
 
         @pl.when(first == 0)
         def _():
-            if is64:
-                cur, cure = chain64(o_ref[0, :ROUT], o_ref[0, ROUT:], 0)
-                o_ref[0, :ROUT] = cur
-                o_ref[0, ROUT:] = cure
-            else:
-                tot = o_ref[0, :ROUT]
-                for g in range(G):
-                    tot = tot + subs_p[g]
-                o_ref[0, :ROUT] = tot
+            for c in range(k):
+                hi_sl = slice(c * OW, c * OW + ROUT)
+                er_sl = slice(c * OW + ROUT, (c + 1) * OW)
+                if is64:
+                    cur, cure = chain64(o_ref[0, hi_sl], o_ref[0, er_sl], 0, c)
+                    o_ref[0, hi_sl] = cur
+                    o_ref[0, er_sl] = cure
+                else:
+                    tot = o_ref[0, hi_sl]
+                    for g in range(G):
+                        tot = tot + subs_p_c[c][g]
+                    o_ref[0, hi_sl] = tot
 
     return kernel
 
@@ -926,6 +960,26 @@ def _fuse_partition(csel, cselb, hasb, osel, first, classpos, dual):
     for G in sorted(parts):
         if G > 1 and sum(len(r) for r in parts[G]) < 8:
             parts.setdefault(1, []).extend(parts.pop(G))
+    if len(parts) > 1 and 1 in parts:
+        # fold a TINY G=1 remainder into the cheapest fused class as
+        # dummy-padded groups when the padding costs less than the extra
+        # pallas call it avoids (~1-1.7us measured = ~2 step units; the
+        # small-set per-call floor, VERDICT r3 #3): af23560's D=8 class was
+        # 1 leftover step + a 3-group G=8 sub-bucket = two calls for one
+        # depth class.
+        n1 = sum(len(r) for r in parts[1])
+        best = None
+        for G in sorted(g for g in parts if g > 1):
+            extra = (sum(-(-len(r) // G) * ratios[G] for r in parts[1])
+                     - 0.95 * n1)
+            if best is None or extra < best[1]:
+                best = (G, extra)
+        if best is not None and best[1] < 2.0:
+            Gf = best[0]
+            for seg in parts.pop(1):
+                # split to arity-sized pieces (segment invariant: len <= G)
+                for p0 in range(0, len(seg), Gf):
+                    parts[Gf].append(seg[p0 : p0 + Gf])
     if set(parts) == {1}:
         return None, cf, cbf
     return parts, cf, cbf
@@ -1115,15 +1169,16 @@ def _call_f32(csel, cselb, hasb, osel, first, packed, chunks, log2d, wide, nout,
 
 def _call_fused(csel2, cselb2, hasb2, osel2, first2, packed_f, chunks, log2d,
                 wide, nout, is64, dual, classpos, acc=None, acc_mode=0,
-                dboth=False, G=2):
+                dboth=False, G=2, k=1):
     """Vertical-step-fusion call: ``packed_f`` is the GROUP-ALIGNED padded
     bucket buffer (n_f, W, 128); the fused grid reinterprets it as
     (n_f/G, G*W, 128) — one reshape, no copy, and the same buffer still serves
-    the unfused/SpMM kernels."""
+    the unfused/SpMM kernels.  ``k > 1``: fused multi-RHS SpMM (the k columns
+    share the group DMA + table matmul)."""
     n2 = csel2.shape[0]
     W = packed_f.shape[1]
     packed2 = packed_f.reshape(n2, G * W, 128)
-    owidth = (2 if is64 else 1) * ROUT
+    owidth = (2 if is64 else 1) * k * ROUT
     in_specs = [
         pl.BlockSpec((1, G * W, 128), lambda s, *_: (s, _Z, _Z)),
         pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
@@ -1148,7 +1203,7 @@ def _call_fused(csel2, cselb2, hasb2, osel2, first2, packed_f, chunks, log2d,
             + ((chunks,) if dual else ()) + ((acc,) if acc_mode else ()))
     return pl.pallas_call(
         _make_fused_kernel(log2d, wide, dual, classpos, is64, acc_mode, dboth,
-                           G),
+                           G, k),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, owidth, 128), jnp.float32),
         input_output_aliases=io_alias,
@@ -1719,19 +1774,12 @@ def _bucket_args(dp: _DeviceSwellPlan, interp: bool, amx: bool = False):
                     b["touched"],
                 )
             out.append(b["interp_args"])
-        elif b.get("fuse") and amx:
-            # SpMM path on a group-aligned bucket: append the ORIGINAL
-            # (dummy-free) step arrays (13-field tuple); packed transferred
-            # lazily on first use
-            if "amx_packed" not in b:
-                b["amx_packed"] = jnp.asarray(b["_packed_orig_np"])
-            out.append((b["csel"], b["cselb"], b["hasb"], b["osel"], b["first"],
-                        b["packed"], b["touched"])
-                       + b["orig"] + (b["amx_packed"],))
         elif b.get("fuse"):
             # r == 1 group-aligned bucket: fields [:7] are the padded arrays
             # (runnable by the unfused/SpMM kernels — dummy sub-steps are exact
-            # zeros), [7:12] the stride-G fused selectors
+            # zeros), [7:12] the stride-G fused selectors.  The SpMM path
+            # (amx=True) consumes the SAME layout since the fused kernels are
+            # k-generalized (the 13-field dummy-free variant of c867331 is gone)
             out.append((b["csel"], b["cselb"], b["hasb"], b["osel"], b["first"],
                         b["packed"], b["touched"],
                         b["csel2"], b["cselb2"], b["hasb2"], b["osel2"],
@@ -2030,59 +2078,86 @@ def swell_amx(bargs, tail, X, statics, k):
     so the dominant DMA bytes of SpMV amortize k-fold.  Layout mirrors
     ``swell_ax`` with an extra leading k axis on the output tiles."""
     (is64, interp, nout, nchunks, copies, tile_rb, rows, delta, log2ds, r, pipe,
-     dboths, _fuseds) = statics
+     dboths, fuseds) = statics
     out_dt = jnp.float64 if (is64 and jax.config.jax_enable_x64) else jnp.float32
     if not bargs:
         y = jnp.zeros((rows, k), out_dt)
-    else:
+    elif interp:
         chunks = _prep_x_pure(X, nchunks, is64, native=interp, delta=delta, r=r, k=k)
         total = None
-        for ba, (log2d, wide, dual, classpos, allout), dboth in zip(
-                bargs, log2ds, dboths):
-            if not interp and len(ba) == 11:  # k>1 kernels use the NONPIPE set
-                (_cp, _cbp, _hbp, csel, cselb, hasb, osel, first,
-                 _ohs, packed, touched) = ba
-            elif not interp and len(ba) == 13:
-                # group-aligned bucket with its original (dummy-free) arrays
-                # appended for the SpMM path (see _bucket_args(amx=True))
-                csel, cselb, hasb, osel, first, packed = ba[7:13]
-                touched = ba[6]
-            elif not interp:
-                # 7-field plain bucket or 12-field group-aligned bucket WITHOUT
-                # the amx originals: the padded arrays run unfused (dummy
-                # sub-steps are exact zeros)
-                csel, cselb, hasb, osel, first, packed, touched = ba[:7]
-            if interp:
-                csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
-                o = _call_native_interp_r(csel, cselb, hasb, osel, first, vals,
-                                          lidx, oh, rbvec, chunks[0], log2d, wide,
-                                          nout, r, k)
-                o = o.reshape(nout, k, r, ROUT, 128)
-                part = o if is64 else o.astype(jnp.float32)
-            elif is64:
-                o = _call_f64(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False, dual, classpos, r, k,
-                              dboth=dboth)
-                o = o.reshape(nout, k, r, 2, ROUT, 128)
-                hi, er = o[:, :, :, 0], o[:, :, :, 1]
-                if allout:
-                    part = hi.astype(jnp.float64) + er.astype(jnp.float64)
-                else:
-                    mask = touched[:, None, None, None, None]
-                    part = jnp.where(mask, hi, 0.0).astype(jnp.float64) + jnp.where(
-                        mask, er, 0.0
-                    ).astype(jnp.float64)
-            else:
-                o = _call_f32(csel, cselb, hasb, osel, first, packed, chunks,
-                              log2d, wide, nout, False, dual, classpos, r, k,
-                              dboth=dboth)
-                o = o.reshape(nout, k, r, ROUT, 128)
-                part = o if allout else jnp.where(touched[:, None, None, None, None], o, 0.0)
+        for ba, (log2d, wide, dual, classpos, allout) in zip(bargs, log2ds):
+            csel, cselb, hasb, osel, first, vals, lidx, oh, rbvec, touched = ba
+            o = _call_native_interp_r(csel, cselb, hasb, osel, first, vals,
+                                      lidx, oh, rbvec, chunks[0], log2d, wide,
+                                      nout, r, k)
+            o = o.reshape(nout, k, r, ROUT, 128)
+            part = o if is64 else o.astype(jnp.float32)
             total = part if total is None else total + part
-        # (nout, k, r, ROUT, 128): sum output-row copies, then interleave the r
-        # block-row slices back (actual row = node*r + i), k as trailing axis
         total = total.reshape(nout, k, r, tile_rb, copies, 128).sum(axis=4)
         y = total.transpose(0, 3, 4, 2, 1).reshape(-1, k)[:rows].astype(out_dt)
+    else:
+        chunks = _prep_x_pure(X, nchunks, is64, native=False, delta=delta, r=r, k=k)
+        # cross-bucket accumulation IN-KERNEL through the HBM-aliased (k
+        # columns x (hi, err)) accumulator — same chaining as swell_ax; for
+        # k=8 this kills 8x the per-bucket XLA combine/mask traffic the old
+        # sum-of-parts path paid
+        order = sorted(range(len(bargs)), key=lambda i: not log2ds[i][4])
+        acc = None
+        if not log2ds[order[0]][4]:
+            acc = jnp.zeros((nout, (2 if is64 else 1) * r * k * ROUT, 128),
+                            jnp.float32)
+        for j, i in enumerate(order):
+            ba = bargs[i]
+            log2d, wide, dual, classpos, allout = log2ds[i]
+            dboth = dboths[i]
+            mode = 2 if j > 0 else (1 if acc is not None else 0)
+            if len(ba) >= 12 and fuseds[i] and r == 1:
+                # fused multi-RHS kernels: k columns share the group DMA and
+                # the table matmul (VERDICT r3 #4 — the k=1 fusion previously
+                # accelerated only the SpMV denominator)
+                G = int(fuseds[i])
+                c2, cb2, hb2, os2, fi2 = ba[7], ba[8], ba[9], ba[10], ba[11]
+                if k > 1 and G > max(1, 16 // k):
+                    # scoped-VMEM cap: the G-tall per-column table buffers and
+                    # the G-tall packed block (double-buffered) plus k-wide
+                    # chunk blocks blow the 16MB limit (boneS10 k=8: G=8 22.3M,
+                    # G=4 16.07M; k=4 G=4 fits).  A G-aligned padded buffer is
+                    # also valid at any divisor arity: derive stride-Ge
+                    # selectors from the per-sub-step arrays (group constants;
+                    # `first` is 1 only at G-group starts, which are Ge-group
+                    # starts too).
+                    Ge = max(1, 16 // k)
+                    csel_s, cselb_s, hasb_s, osel_s, first_s = ba[:5]
+                    c2, cb2 = csel_s[::Ge], cselb_s[::Ge]
+                    hb2 = hasb_s.reshape(-1, Ge).max(axis=1)
+                    os2, fi2 = osel_s[::Ge], first_s[::Ge]
+                    G = Ge
+                acc = _call_fused(c2, cb2, hb2, os2, fi2, ba[5],
+                                  chunks, log2d, wide, nout, is64, dual,
+                                  classpos, acc=acc, acc_mode=mode, dboth=dboth,
+                                  G=G, k=k)
+                continue
+            if len(ba) == 11:  # k>1 kernels use the NONPIPE selector set
+                (_cp, _cbp, _hbp, csel, cselb, hasb, osel, first,
+                 _ohs, packed, touched) = ba
+            else:
+                # 7-field plain bucket or 12-field group-aligned bucket with
+                # fusion disabled at trace time: the padded arrays run unfused
+                # (dummy sub-steps are exact zeros)
+                csel, cselb, hasb, osel, first, packed, touched = ba[:7]
+            call = _call_f64 if is64 else _call_f32
+            acc = call(csel, cselb, hasb, osel, first, packed, chunks,
+                       log2d, wide, nout, False, dual, classpos, r, k,
+                       acc=acc, acc_mode=mode, dboth=dboth)
+        if is64:
+            o = acc.reshape(nout, k, r, 2, ROUT, 128)
+            t64 = o[:, :, :, 0].astype(jnp.float64) + o[:, :, :, 1].astype(jnp.float64)
+        else:
+            t64 = acc.reshape(nout, k, r, ROUT, 128)
+        # (nout, k, r, ROUT, 128): sum output-row copies, then interleave the r
+        # block-row slices back (actual row = node*r + i), k as trailing axis
+        t64 = t64.reshape(nout, k, r, tile_rb, copies, 128).sum(axis=4)
+        y = t64.transpose(0, 3, 4, 2, 1).reshape(-1, k)[:rows].astype(out_dt)
     trows, tci, tv = tail
     if trows.shape[0] > 0:
         y = y + jax.ops.segment_sum(
@@ -2143,8 +2218,8 @@ def _refine_cancellation(dp, x, ax, tau=1e-4, cap=1 << 17):
     fixed = np.empty(len(sus), dtype=np.float64)
     for i, r in enumerate(sus):
         lo, hi = rp[r], rp[r + 1]
-        fixed[i] = np.dot(v[lo:hi], xh[ci[lo:hi]])
-    return ax.at[jnp.asarray(sus)].set(jnp.asarray(fixed))
+        fixed[i] = np.dot(v[lo:hi].astype(np.float64), xh[ci[lo:hi]])
+    return ax.at[jnp.asarray(sus)].set(jnp.asarray(fixed, dtype=ax.dtype))
 
 
 def spmv_swell(alpha, beta, csr, x, y, plan=None):
@@ -2158,10 +2233,16 @@ def spmv_swell(alpha, beta, csr, x, y, plan=None):
     else:
         ax = swell_spmv_f32(dp, x)
     ax = ax[: csr.rows].astype(dtype)
-    if (dtype == jnp.float64 and not _interpret()
+    if (not _interpret()
             and getattr(dp, "host_csr", None) is not None
             and not os.environ.get("SPMV_TPU_NO_REFINE")):
-        ax = _refine_cancellation(dp, x, ax)
+        # f32: plain accumulation carries rel error ~R*sqrt(L)*2^-24 on rows
+        # whose products cancel by R (af23560 measured max_error 1.7e-3,
+        # VERDICT r3 #8); tau=1e-2 host-recomputes every row cancelled below
+        # 1e-2 of the output scale, leaving R <~ 100 rows at ~3e-5 rel —
+        # inside the f32 verify gate.  f64: see _refine_cancellation.
+        ax = _refine_cancellation(dp, x, ax,
+                                  tau=1e-4 if dtype == jnp.float64 else 1e-2)
     return axpby_finish(alpha, beta, ax, y)
 
 
