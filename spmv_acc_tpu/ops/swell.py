@@ -2062,10 +2062,11 @@ def swell_ax(bargs, tail, x, statics):
             y = t.transpose(0, 2, 3, 1).reshape(-1)[:rows].astype(out_dt)
     trows, tci, tv = tail
     if trows.shape[0] > 0:
-        # COO tail (spilled low-fill instances): f64 gather + segment_sum is exact
-        # and cheap for the few-percent nnz that land here
+        # COO tail (spilled sparse (out,chunk) cells): f64 gather + segment_sum
+        # is exact; tail rows are CSR-ordered so the sorted fast path applies
         y = y + jax.ops.segment_sum(
-            tv.astype(out_dt) * x[tci].astype(out_dt), trows, num_segments=rows
+            tv.astype(out_dt) * x[tci].astype(out_dt), trows, num_segments=rows,
+            indices_are_sorted=True,
         )
     return y
 
@@ -2162,7 +2163,7 @@ def swell_amx(bargs, tail, X, statics, k):
     if trows.shape[0] > 0:
         y = y + jax.ops.segment_sum(
             tv.astype(out_dt)[:, None] * X[tci].astype(out_dt), trows,
-            num_segments=rows,
+            num_segments=rows, indices_are_sorted=True,
         )
     return y
 

@@ -279,6 +279,43 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
         delta = best[1]
     nchunks = max(nchunks, -(-(n + delta) // (CW * CHUNK_W)))
 
+    # --- economic COO-tail spill (VERDICT r3 #6) -------------------------------
+    # Per-element kernel cost is ~0.04ns/slot — orders below the XLA tail's
+    # ~140ns/element — so per-INSTANCE fill can never justify spilling.  What
+    # CAN: an (out-window, x-chunk) cell visited for only a handful of nnz
+    # still pays a ~500ns chunk (re)load + ~400ns out-tile writeback + a step
+    # share in-kernel, i.e. ~(900/cell_nnz) ns/element.  Spilling whole cells
+    # below SPMV_TPU_SPILL nnz (breakeven ~6) removes those loads.  Default
+    # OFF (0): the bench corpus has no such cells worth the plan churn; the
+    # scattered/power-law corpora opt in (dispatch may pass it, tests set it).
+    tail_rows0, tail_ci0, tail_v0 = _no_tail
+    spill_thr = int(os.environ.get("SPMV_TPU_SPILL", "0"))
+    if spill_thr > 0 and v.ndim == 1:
+        out_of = (rb // tile_rb).astype(np.int64)
+        chunk_of = (ci + delta) >> 14  # CW * CHUNK_W = 16384
+        cell = out_of * np.int64(nchunks) + chunk_of
+        _, inv_c, cnt_c = np.unique(cell, return_inverse=True, return_counts=True)
+        spill0 = cnt_c[inv_c] < spill_thr
+        if spill0.any():
+            tail_rows0 = rows[spill0].astype(np.int32)
+            tail_ci0 = ci[spill0].astype(np.int32)
+            tail_v0 = v[spill0]
+            keep0 = ~spill0
+            cnt_row = np.bincount(rows[keep0], minlength=m)
+            rp = np.concatenate([[0], np.cumsum(cnt_row)]).astype(np.int64)
+            ci = ci[keep0]
+            v = v[keep0]
+            rows = rows[keep0]
+            rb = rows >> 7
+            lane = (rows & 127).astype(np.int64)
+            nnz = int(rp[-1])  # kept count (algorithm arrays); totals add the tail
+            if nnz == 0:
+                return SwellPlan((), m, n, int(len(tail_ci0)), nout, nchunks,
+                                 tail_rows0, tail_ci0, tail_v0, 1.0, 0, copies,
+                                 tile_rb)
+    _no_tail = (tail_rows0, tail_ci0, tail_v0)
+    nnz_total = nnz + int(len(tail_ci0))
+
     # Native (C++/OpenMP) analyze covers everything from here to slab enumeration
     # in one parallel pass over row-blocks (csr_adaptive_plus_analyze.cpp analog);
     # the numpy pipeline below is the portable fallback and equivalence reference.
@@ -304,7 +341,7 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
         slab_out = (slab_rb // tile_rb).astype(np.int64)
         slab_chunk = (slab_w >> 7).astype(np.int64)
         return _finish_swell_plan(
-            m, n, nnz, nout, nchunks, copies, tile_rb, delta, v.dtype,
+            m, n, nnz_total, nout, nchunks, copies, tile_rb, delta, v.dtype,
             slab_of_nnz, lc, slot_in_slab, layer_k, lane, vk,
             slab_rb, slab_w, slab_k, slab_wide, slab_out, slab_chunk, nslabs,
             tail_rows, tail_ci, tail_v, nkept, mrb,
@@ -351,31 +388,18 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
     gid_uniq, g_first = np.unique(g_sorted, return_index=True)
     maxc = np.maximum.reduceat(c_sorted, g_first)  # per unique gid, <= 128
 
-    # --- spill low-fill instances to the COO tail ------------------------------
-    # A slab always spans 128 lanes; instances with few active lanes (window-edge
-    # orphans, scattered nnz) waste >= 8x their nnz in padding.  A COO tail
-    # (XLA gather + segment_sum) was tried and measured at ~140ns/element on TPU —
-    # XLA's sparse random access is element-serialized, 10x slower than eating the
-    # padding — so spilling is DISABLED (threshold 0) until a Pallas-native tail
-    # exists; orphan elimination comes from the unaligned windows instead.
-    g_cnt = np.add.reduceat(c_sorted, g_first)
-    g_spill = g_cnt < 0  # disabled (see above)
+    # Historical note: a per-INSTANCE fill spill was tried here and measured a
+    # loss at ~140ns/element of XLA tail cost — kernel slots are ~0.04ns each,
+    # so padding is 1000x cheaper than spilling.  The surviving criterion is
+    # the per-(out, chunk) CELL economics applied upstream of both analyze
+    # paths (chunk loads/writebacks, not fill).
+    # (cell-level economic spill happens upstream, before the native-analyze
+    # branch — see the COO-tail block; every instance reaching here is kept)
+    tail_rows, tail_ci, tail_v = _no_tail
+    vk = v
     g_of_nnz = np.searchsorted(gid_uniq, gid)
-    spill = g_spill[g_of_nnz]
-    tail_rows = rows[spill].astype(np.int32)
-    tail_ci = ci[spill].astype(np.int32)
-    tail_v = v[spill]
-    keep = np.flatnonzero(~spill)
-    gid = gid[keep]
-    s = s[keep]
-    lane = lane[keep]
-    lc = lc[keep]
-    vk = v[keep]
-    M = maxc[g_of_nnz[keep]]
-    nkept = len(keep)
-    if nkept == 0:
-        return SwellPlan((), m, n, nnz, nout, nchunks, tail_rows, tail_ci, tail_v,
-                         1.0, 0, copies, tile_rb)
+    M = maxc[g_of_nnz]
+    nkept = nnz
 
     # per-nnz layer bit k: largest set bit k of maxc with (maxc >> k << k) > slot
     layer_k = np.full(nkept, -1, dtype=np.int8)
@@ -401,7 +425,7 @@ def build_swell_plan(row_ptr, col_idx, values, shape) -> SwellPlan:
         slab_of_nnz, weights=(lc >= 128).astype(np.float64), minlength=nslabs
     ) > 0
     return _finish_swell_plan(
-        m, n, nnz, nout, nchunks, copies, tile_rb, delta, v.dtype,
+        m, n, nnz_total, nout, nchunks, copies, tile_rb, delta, v.dtype,
         slab_of_nnz, lc, slot_in_slab, layer_k, lane, vk,
         slab_rb, slab_w, slab_k, slab_wide, slab_out, slab_chunk, nslabs,
         tail_rows, tail_ci, tail_v, nkept, mrb,

@@ -99,7 +99,6 @@ def build_dist_swell(csr: CSR, num_shards: int, dtype=None) -> DistSwellPlan:
     K = max(1, -(-plan.nout // D))
     r = dp.r
     rows_local = K * plan.tile_rb * 128 * r
-    assert plan.tail_rows.shape[0] == 0, "dist swell requires a tail-free plan"
     gargs = _bucket_args(dp, interp)
     st = _statics(dp, interp)
     # localize statics: nout -> K, rows -> rows_local, allout -> False (touched
@@ -153,11 +152,13 @@ def build_dist_swell(csr: CSR, num_shards: int, dtype=None) -> DistSwellPlan:
     win_chunks = int((c_hi - c_lo).max()) + 1
     # 1-hop feasibility: every live shard's element window must sit inside its
     # own x block plus the two neighbor blocks (edge shards extend into the
-    # zero padding, which matches the global zero regions exactly)
+    # zero padding, which matches the global zero regions exactly).  A COO
+    # tail (spilled sparse cells, VERDICT r3 #6) gathers x at arbitrary
+    # columns, so tailed plans use the all-gather path.
     ws = (c_lo * _CS - delta) * r
     we = ws + win_chunks * _CS * r
     live = ~idle
-    halo_ok = bool(
+    halo_ok = plan.tail_rows.shape[0] == 0 and bool(
         np.all((~live) | (d_idx == 0) | (ws >= (d_idx - 1) * L))
         and np.all((~live) | (d_idx == D - 1) | (we <= (d_idx + 2) * L))
     )
@@ -190,8 +191,29 @@ def build_dist_swell(csr: CSR, num_shards: int, dtype=None) -> DistSwellPlan:
         stacked = tuple(jnp.asarray(np.stack([s[i] for s in per_shard]))
                         for i in range(len(per_shard[0])))
         stacked_buckets.append(stacked)
-    tail = (jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32),
-            jnp.zeros(0, jnp.float64 if (dtype == np.float64 and interp) else jnp.float32))
+    # per-shard COO tail: split the row-sorted global tail at shard row bounds,
+    # localize rows, pad with row == rows_local (sorted AND out-of-range, so
+    # the in-shard segment_sum drops the padding)
+    tdt = (jnp.float64 if (dtype == np.float64 and jax.config.jax_enable_x64)
+           else jnp.float32)
+    tr = np.asarray(plan.tail_rows)
+    if len(tr):
+        tc, tvv = np.asarray(plan.tail_ci), np.asarray(plan.tail_v)
+        splits = np.concatenate(
+            [[0], np.searchsorted(tr, np.arange(1, D) * rows_local), [len(tr)]])
+        tmax = int(np.max(np.diff(splits)))
+        trs = np.full((D, tmax), rows_local, np.int32)
+        tcs = np.zeros((D, tmax), np.int32)
+        tvs = np.zeros((D, tmax), np.float64)
+        for d in range(D):
+            lo, hi = int(splits[d]), int(splits[d + 1])
+            trs[d, : hi - lo] = tr[lo:hi] - d * rows_local
+            tcs[d, : hi - lo] = tc[lo:hi]
+            tvs[d, : hi - lo] = tvv[lo:hi]
+        tail = (jnp.asarray(trs), jnp.asarray(tcs), jnp.asarray(tvs, dtype=tdt))
+    else:
+        tail = (jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32),
+                jnp.zeros(0, tdt))
     return DistSwellPlan(
         bucket_args=tuple(stacked_buckets), statics=statics, tail=tail,
         num_shards=D, windows_per_shard=K, rows_local=rows_local,

@@ -436,3 +436,84 @@ def test_refine_cancellation_f32_repairs_cancelled_rows():
     # the corrupted row must be restored to the exact host value (f32-rounded)
     assert abs(fixed[0] - golden[0]) <= max(2e-7 * abs(golden[0]), 1e-9), (
         fixed[0], golden[0])
+
+
+def _banded_plus_outliers(m, seed, n_out=60):
+    """Banded matrix plus scattered far-off-band entries (1-3 nnz per distant
+    (out, chunk) cell) — the structure the cell-economic spill targets."""
+    from spmv_acc_tpu.formats.convert import coo_to_csr_arrays
+    from spmv_acc_tpu.formats.containers import CSR
+    from spmv_acc_tpu.formats.generate import banded_csr
+
+    base = banded_csr(m, bandwidth=5, seed=seed, dtype=np.float64)
+    rp, ci, v, _ = base.to_numpy()
+    rng = np.random.default_rng(seed + 1)
+    rows_b = np.repeat(np.arange(m), np.diff(rp))
+    ro = rng.integers(0, m, size=n_out)
+    co = (ro + m // 2) % m  # far off-band: lands in unvisited chunk cells
+    vo = rng.uniform(-1, 1, size=n_out)
+    rp2, ci2, v2 = coo_to_csr_arrays(
+        np.concatenate([rows_b, ro]), np.concatenate([ci, co]),
+        np.concatenate([v, vo]), (m, m))
+    return CSR.from_numpy(rp2, ci2, v2, (m, m))
+
+
+def test_spill_tail_scattered_golden(monkeypatch):
+    """VERDICT r3 #6: SPMV_TPU_SPILL spills whole sparse (out, chunk) cells to
+    a COO tail (sorted segment-sum path); a scattered power-law matrix must
+    verify end-to-end with a nonzero tail."""
+    import jax.numpy as jnp
+
+    from spmv_acc_tpu.formats.generate import powerlaw_csr, random_x_y
+    from spmv_acc_tpu.ops.swell import get_swell_plan, spmv_swell
+
+    monkeypatch.setenv("SPMV_TPU_SPILL", "16")
+    monkeypatch.setenv("SPMV_TPU_NO_PLAN_CACHE", "1")
+    # banded core + scattered far-off-band outliers: the outliers land alone in
+    # otherwise-unvisited (out-window, x-chunk) cells — the regime where a
+    # handful of nnz would pay a whole chunk load + writeback in-kernel
+    m = 40_000
+    csr = _banded_plus_outliers(m, seed=11)
+    dp = get_swell_plan(csr, np.float64)
+    assert dp.plan.tail_rows.shape[0] > 0, "spill produced no tail"
+    assert np.all(np.diff(dp.plan.tail_rows) >= 0), "tail not row-sorted"
+    rp, ci, v, _ = csr.to_numpy()
+    x, _ = random_x_y(m, m, seed=4, dtype=np.float64)
+    golden = np.zeros(m)
+    np.add.at(golden, np.repeat(np.arange(m), np.diff(rp)), v * x[ci])
+    out = np.asarray(spmv_swell(1.0, 0.0, csr, jnp.asarray(x), jnp.zeros(m)))
+    assert verify_y(out, golden).ok
+
+
+def test_spill_tail_dist_swell_golden(monkeypatch):
+    """A tailed plan must distribute: per-shard tail split + all-gather x
+    (halo disabled), golden-matched on the virtual CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from spmv_acc_tpu.formats.generate import powerlaw_csr, random_x_y
+    from spmv_acc_tpu.parallel.dist_swell import (
+        build_dist_swell, dist_swell_serial_fn, dist_swell_spmv_fn, pad_global)
+
+    monkeypatch.setenv("SPMV_TPU_SPILL", "16")
+    monkeypatch.setenv("SPMV_TPU_NO_PLAN_CACHE", "1")
+    D = 4
+    m = 4 * 16384  # one out-window per shard
+    csr = _banded_plus_outliers(m, seed=13)
+    assert get_swell_plan(csr, np.float64).plan.tail_rows.shape[0] > 0
+    dsp = build_dist_swell(csr, D)
+    assert not dsp.halo_ok  # tailed plans must use the all-gather path
+    assert dsp.tail[0].ndim == 2 and dsp.tail[0].shape[0] == D
+    mesh = Mesh(np.array(jax.devices()[:D]), ("x",))
+    run = dist_swell_spmv_fn(dsp, mesh)
+    rp, ci, v, _ = csr.to_numpy()
+    x, _ = random_x_y(m, m, seed=5, dtype=np.float64)
+    golden = np.zeros(m)
+    np.add.at(golden, np.repeat(np.arange(m), np.diff(rp)), v * x[ci])
+    xp = jax.device_put(pad_global(dsp, jnp.asarray(x)), NamedSharding(mesh, P("x")))
+    y = np.asarray(run(xp))[:m]
+    assert verify_y(y, golden).ok
+    # the weak-scaling serial baseline must agree on tailed plans too
+    y_ser = np.asarray(dist_swell_serial_fn(dsp)(pad_global(dsp, jnp.asarray(x))))[:m]
+    np.testing.assert_allclose(y_ser, y, rtol=1e-12, atol=1e-300)
