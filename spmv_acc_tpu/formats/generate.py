@@ -209,6 +209,24 @@ def powerlaw_csr(m: int, n: int, avg_nnz: int = 8, alpha: float = 1.8, seed: int
     return _finish(rows, cols, vals, (m, n))
 
 
+def aniso_laplacian_csr(nx: int, ny: int, eps: float = 1e-4, dtype=np.float64) -> CSR:
+    """2D anisotropic diffusion -eps*u_xx - u_yy (5-point stencil, Dirichlet,
+    index = i*ny + j).  SPD and only weakly diagonally dominant: condition
+    grows like (ny/pi)^2, the classic regime where ILU(0) pays over Jacobi
+    (solver-economics bench, VERDICT r3 #7)."""
+    i, j = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    idx = (i * ny + j).ravel()
+    rows, cols, vals = [idx], [idx], [np.full(nx * ny, 2.0 * eps + 2.0, dtype)]
+    for di, dj, w in ((1, 0, -eps), (-1, 0, -eps), (0, 1, -1.0), (0, -1, -1.0)):
+        ii, jj = i + di, j + dj
+        ok = ((ii >= 0) & (ii < nx) & (jj >= 0) & (jj < ny)).ravel()
+        rows.append(idx[ok])
+        cols.append((ii * ny + jj).ravel()[ok])
+        vals.append(np.full(int(ok.sum()), w, dtype))
+    return _finish(np.concatenate(rows), np.concatenate(cols),
+                   np.concatenate(vals), (nx * ny, nx * ny))
+
+
 def dense_row_outlier_csr(m: int, n: int, avg_nnz: int = 4, n_dense: int = 2, seed: int = 0, dtype=np.float64) -> CSR:
     """Mostly-short rows plus a few near-dense rows — the long-row splitting stress case
     (csr_adaptive_plus_analyze.cpp:41-63)."""

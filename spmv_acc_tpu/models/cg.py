@@ -32,6 +32,18 @@ class CGResult(NamedTuple):
     residual_norm: jax.Array
 
 
+def _vdot(a, c):
+    """f64-safe vector dot.  On TPU (no native f64) `jnp.dot` of f64 vectors
+    lowers to a pathological emulated contraction — MEASURED 493us for 65536
+    elements where elementwise multiply + tree-sum cost ~6us (2026-08-20,
+    scripts/solver_win.py investigation): an 80x tax paid 3x per CG iteration
+    that made every f64 solve loop look preconditioner-bound.  f32 keeps the
+    MXU dot."""
+    if a.dtype == jnp.float64:
+        return jnp.sum(a * c)
+    return jnp.dot(a, c, preferred_element_type=a.dtype)
+
+
 def jacobi_preconditioner(csr: CSR):
     """M^{-1} = 1/diag(A) — the cheap baseline preconditioner."""
     import numpy as np
@@ -95,7 +107,7 @@ def cg_solve(
 
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    dot = lambda a, c: jnp.dot(a, c, preferred_element_type=a.dtype)
+    dot = _vdot
     chosen = pick_strategy(get_plan(csr), csr) if strategy == "adaptive" else strategy
     # a swell-backed ILU(0) preconditioner carries its own plan arrays — plumb
     # them through the jit as arguments too (same HTTP-413 hazard as the matvec)
@@ -211,7 +223,7 @@ def dist_cg_solve(
         shard_map, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(), check_rep=False
     )
     def dot_sm(a, c):
-        return jax.lax.psum(jnp.dot(a, c, preferred_element_type=a.dtype), axis)
+        return jax.lax.psum(_vdot(a, c), axis)
 
     def matvec(v):
         return matvec_sm(part.values, part.col_idx_padded, part.row_ids, v)

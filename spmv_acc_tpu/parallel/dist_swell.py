@@ -417,7 +417,9 @@ def dist_swell_cg_solve(csr: CSR, b, mesh: Mesh, tol: float = 1e-8,
     @functools.partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
                        out_specs=P())
     def dot_sm(a, c):
-        return jax.lax.psum(jnp.dot(a, c, preferred_element_type=a.dtype), axis)
+        from ..models.cg import _vdot
+
+        return jax.lax.psum(_vdot(a, c), axis)
 
     sh = NamedSharding(mesh, P(axis))
     bp = jax.device_put(pad_global(dsp, b), sh)
