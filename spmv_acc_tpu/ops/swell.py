@@ -1600,8 +1600,15 @@ def _plan_cache_path(rp, ci, v, shape, dtype):
     pins = ",".join(
         f"{k}={os.environ.get(k, '')}"
         for k in ("SPMV_TPU_FORCE_MERGE", "SPMV_TPU_FORCE_CPOS", "SPMV_TPU_NO_ABSORB",
-                  "SPMV_TPU_BSR", "SPMV_TPU_NO_BSR", "SPMV_TPU_FORCE_COLLAPSE")
+                  "SPMV_TPU_BSR", "SPMV_TPU_NO_BSR")
     )
+    # plan-changing pins added AFTER the v7 key format tag on ONLY when set, so
+    # default-environment keys (the whole cached corpus) stay byte-identical
+    for k, tag in (("SPMV_TPU_FORCE_COLLAPSE", "collapse"),
+                   ("SPMV_TPU_SPILL", "spill")):
+        val = os.environ.get(k)
+        if val and val != "0":
+            pins += f",{tag}={val}"
     if len(ci) <= SMALL_MERGE_NNZ and not os.environ.get("SPMV_TPU_FORCE_MERGE"):
         # size-aware default policy (single below the threshold) — tag ONLY the
         # affected small keys so existing large-plan cache entries stay valid
