@@ -91,3 +91,40 @@ def test_fuse_partition_exact_cover(classpos):
                                   np.arange(s[0], s[-1] + 1))
         if G > 1:
             assert sum(len(s) for s in segs) >= 8  # demotion threshold
+
+
+def test_fused_bucket_divisor_arity_invariants():
+    """The multi-RHS VMEM cap re-derives stride-Ge selectors from the padded
+    per-sub-step arrays (swell_amx): valid iff within every G-group the
+    resolved selectors are constant and `first` is 1 only at group starts —
+    then any divisor arity Ge re-groups the same buffer exactly."""
+    import numpy as np
+
+    from spmv_acc_tpu.formats.generate import banded_csr
+    from spmv_acc_tpu.ops.swell import get_swell_plan
+
+    csr = banded_csr(200_000, bandwidth=7, seed=3, dtype=np.float64)
+    dp = get_swell_plan(csr, np.float64)
+    fused = [b for b in dp.buckets if b.get("fuse", 0) > 1]
+    assert fused, "plan produced no fused buckets"
+    for b in fused:
+        G = int(b["fuse"])
+        cs = np.asarray(b["csel"]).reshape(-1, G)
+        cb = np.asarray(b["cselb"]).reshape(-1, G)
+        fi = np.asarray(b["first"]).reshape(-1, G)
+        os_ = np.asarray(b["osel"]).reshape(-1, G)
+        # group constants: selectors and osel identical within each group
+        assert (cs == cs[:, :1]).all() and (cb == cb[:, :1]).all()
+        assert (os_ == os_[:, :1]).all()
+        # first is never set mid-group
+        assert not fi[:, 1:].any()
+        # divisor re-grouping: stride-Ge selectors equal the stride-G ones
+        # expanded (sub-groups inherit their G-group's selectors)
+        for Ge in (2,):
+            if G % Ge:
+                continue
+            cs_e = np.asarray(b["csel"])[::Ge].reshape(-1, G // Ge)
+            assert (cs_e == np.asarray(b["csel2"])[:, None]).all()
+            fi_e = np.asarray(b["first"])[::Ge].reshape(-1, G // Ge)
+            assert (fi_e[:, 0] == np.asarray(b["first2"])).all()
+            assert not fi_e[:, 1:].any()
