@@ -675,10 +675,13 @@ def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
         spl = 6 * CW if is64 else 3 * CW  # lanes per x slice
 
         def build_sets(c):
-            ca_c = ca[:, c * spl : (c + 1) * spl]
+            # k == 1: use the chunk blocks UNSLICED — a [:, 0:spl] identity
+            # slice is still a real (128, 768) copy in Mosaic, taxing every
+            # grid iteration of every fused bucket
+            ca_c = ca if k == 1 else ca[:, c * spl : (c + 1) * spl]
             if dual:  # dboth: unconditional both-sides build
-                sw = (_dot1(oh_a, ca_c)
-                      + _dot1(oh_b, cb[:, c * spl : (c + 1) * spl]))
+                cb_c = cb if k == 1 else cb[:, c * spl : (c + 1) * spl]
+                sw = _dot1(oh_a, ca_c) + _dot1(oh_b, cb_c)
             else:
                 sw = _dot1(oh_a, ca_c)
             return _assemble_sets(sw, [0, 3] if is64 else [0])
