@@ -112,6 +112,9 @@ def emit(partial: bool):
     }
     if partial:
         out["partial"] = True
+    # per-matrix rooflines: the driver records only this last line, so the
+    # full picture must ride in it (stderr CSV is a separate log)
+    out["per_matrix_roofline"] = {n: round(v[0], 4) for n, v in results.items()}
     if _STATE["skipped"]:
         out["skipped"] = _STATE["skipped"]
     if _STATE["spmm"]:

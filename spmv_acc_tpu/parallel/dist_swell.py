@@ -50,7 +50,9 @@ _CS = CHUNK_W * CW  # columns (node-granular for BSR plans) per x chunk
 class DistSwellPlan:
     bucket_args: Tuple          # per bucket: stacked (D, ...) arrays, swell_ax layout
     statics: Tuple              # per-shard statics for swell_ax (nout=K, rows=rows_local)
-    tail: Tuple                 # empty COO tail (dist path requires no spill)
+    tail: Tuple                 # COO tail: empty, or per-shard (D, tmax) arrays
+    #                             (rows localized; padding row == rows_local is
+    #                             sorted AND dropped by the in-shard segment_sum)
     num_shards: int
     windows_per_shard: int      # K
     rows_local: int             # K * tile_rb * 128 * r  (uniform per shard)
