@@ -517,3 +517,21 @@ def test_spill_tail_dist_swell_golden(monkeypatch):
     # the weak-scaling serial baseline must agree on tailed plans too
     y_ser = np.asarray(dist_swell_serial_fn(dsp)(pad_global(dsp, jnp.asarray(x))))[:m]
     np.testing.assert_allclose(y_ser, y, rtol=1e-12, atol=1e-300)
+
+
+@pytest.mark.slow
+def test_spill_auto_engages_on_scattered_outliers(monkeypatch):
+    """AUTO spill (no env): engages only when many sparse cells carry a tiny
+    nnz fraction; a clean banded matrix must be untouched (the entire bench
+    corpus has zero sub-16 cells, so auto never changes its plans)."""
+    from spmv_acc_tpu.ops.swell import get_swell_plan
+
+    monkeypatch.delenv("SPMV_TPU_SPILL", raising=False)
+    monkeypatch.setenv("SPMV_TPU_NO_PLAN_CACHE", "1")
+    m = 32 * 16384  # 32 out-windows x 32 chunks: room for >= 64 sparse cells
+    csr = _banded_plus_outliers(m, seed=21, n_out=200)
+    dp = get_swell_plan(csr, np.float64)
+    assert dp.plan.tail_rows.shape[0] >= 150, "auto spill did not engage"
+    clean = banded_csr(m, bandwidth=5, seed=21, dtype=np.float64)
+    dp2 = get_swell_plan(clean, np.float64)
+    assert dp2.plan.tail_rows.shape[0] == 0, "auto spill fired on a clean band"
