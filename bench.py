@@ -391,15 +391,12 @@ def bench_solver_aniso(log):
     Honest arithmetic: the apply costs ~2*sweeps SpMV-equivalents while the
     iteration ratio is ~2.4-4.8x, so the win is real but thin (~1.1x); the
     diagonally-dominant stand-ins above lose outright (ratio recorded)."""
-    import os as _os
-
     from spmv_acc_tpu.formats.generate import aniso_laplacian_csr
     from spmv_acc_tpu.models.cg import _vdot, cg_solve, jacobi_preconditioner
     from spmv_acc_tpu.ops.swell import _bucket_args, _interpret, _statics, \
         get_swell_plan, swell_ax
     from spmv_acc_tpu.ops.trisolve import ilu0, sweep_apply_swell
 
-    _os.environ.setdefault("SPMV_TPU_ILU_SWELL_MIN", "50000")
     nx = ny = 512
     eps = 1e-4
     m = nx * ny

@@ -373,11 +373,13 @@ def ilu0(csr: CSR, sweeps: Optional[int] = None) -> ILU0:
     sweeps per solve — the standard approximate-triangular-solve preconditioner
     for chain-structured factors on wide-SIMD hardware.
 
-    Sweep solves on factors with >= ``SPMV_TPU_ILU_SWELL_MIN`` (default 2M)
+    Sweep solves on factors with >= ``SPMV_TPU_ILU_SWELL_MIN`` (default 100k)
     off-diagonal nnz get a :class:`SweepSwell` backing: each sweep's N@y runs
     on the flagship swell kernels instead of XLA gather/segment_sum (the
-    gather path costs ~30-140 ns/element on TPU — at bench scale one sweep
-    would cost ~1000x the SpMV being preconditioned)."""
+    gather path costs ~30-140 ns/element on TPU — measured 2026-08-20 on the
+    512^2 aniso system: 130k-nnz factors paid ~6.5ms/apply on the gather path
+    vs ~0.2ms on swell, so the old 2M default left every mid-size solve on
+    the slow path for the sake of ~1-2s of plan build)."""
     rp, ci, v, shape = csr.to_numpy()
     rp = np.asarray(rp)
     ci = np.asarray(ci)
@@ -391,7 +393,7 @@ def ilu0(csr: CSR, sweeps: Optional[int] = None) -> ILU0:
         sweeps = 0 if exact_ok else int(os.environ.get("SPMV_TPU_ILU_SWEEPS", "6"))
     swell = None
     n_off = int(l_plan.dep_rows.shape[0] - _W) + int(u_plan.dep_rows.shape[0] - _W)
-    swell_min = int(os.environ.get("SPMV_TPU_ILU_SWELL_MIN", str(2_000_000)))
+    swell_min = int(os.environ.get("SPMV_TPU_ILU_SWELL_MIN", str(100_000)))
     if sweeps > 0 and n_off >= swell_min:
         from .swell import _bucket_args, _interpret, _statics, get_swell_plan
 
