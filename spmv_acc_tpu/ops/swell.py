@@ -1442,9 +1442,6 @@ class _DeviceSwellPlan:
                                                           axis=1))
                         sub["osel2"] = jnp.asarray(os_p[::G])
                         sub["first2"] = jnp.asarray(fi_p[::G])
-                        # pre-padding packed kept HOST-side for the k>1 SpMM
-                        # kernels (transferred lazily on first SpMM use)
-                        sub["_packed_orig_np"] = nb["packed"][mo]
                     self.buckets.append(sub)
                 continue
             b = dict(
@@ -1756,6 +1753,11 @@ def get_swell_plan(csr, dtype) -> _DeviceSwellPlan:
 
 
 def _bucket_args(dp: _DeviceSwellPlan, interp: bool, amx: bool = False):
+    """Per-bucket device-array tuples in the layouts swell_ax/swell_amx consume.
+
+    ``amx`` is retained for interface stability only: since the fused kernels
+    were k-generalized (round 4), the SpMV and SpMM paths consume the SAME
+    group-aligned layout and the old 13-field dummy-free variant is gone."""
     out = []
     if interp and dp.buckets and not dp._host_buckets:
         raise RuntimeError(
