@@ -1607,7 +1607,13 @@ def _plan_cache_path(rp, ci, v, shape, dtype):
     for k, tag in (("SPMV_TPU_FORCE_COLLAPSE", "collapse"),
                    ("SPMV_TPU_SPILL", "spill")):
         val = os.environ.get(k)
-        if val and val != "0":
+        if k == "SPMV_TPU_SPILL":
+            # unset means AUTO (may spill) but explicit 0 means NEVER — the
+            # two can produce different plans, so explicit-0 gets its own tag
+            # while unset keeps the stable default-environment key
+            if val is not None:
+                pins += f",{tag}={val}"
+        elif val and val != "0":
             pins += f",{tag}={val}"
     if len(ci) <= SMALL_MERGE_NNZ and not os.environ.get("SPMV_TPU_FORCE_MERGE"):
         # size-aware default policy (single below the threshold) — tag ONLY the
@@ -2083,6 +2089,21 @@ def swell_ax(bargs, tail, x, statics):
     return y
 
 
+def _fused_cap_arity(G: int, k: int) -> int:
+    """Fusion arity after the multi-RHS scoped-VMEM cap.
+
+    The G-tall packed block (double-buffered) plus k per-column table buffers
+    bound G*k at ~16 (v5e 16MB VMEM); the effective arity must also DIVIDE G
+    so stride-Ge selector groups never straddle a real G-group boundary (G is
+    always a power of two, so rounding the cap down to a power of two and
+    halving until it divides always terminates at >= 1)."""
+    Ge = max(1, 16 // k)
+    Ge = 1 << (Ge.bit_length() - 1)
+    while G % Ge:
+        Ge >>= 1
+    return Ge
+
+
 def swell_amx(bargs, tail, X, statics, k):
     """Pure A@X over the swell plan — multi-RHS SpMM, X of shape (n, k).
 
@@ -2138,8 +2159,11 @@ def swell_amx(bargs, tail, X, statics, k):
                     # also valid at any divisor arity: derive stride-Ge
                     # selectors from the per-sub-step arrays (group constants;
                     # `first` is 1 only at G-group starts, which are Ge-group
-                    # starts too).
-                    Ge = max(1, 16 // k)
+                    # starts too).  Ge MUST divide G (see _fused_cap_arity),
+                    # else k in {3, 5} yields Ge in {5, 3} — reshape(-1, Ge)
+                    # fails at trace time or, worse, stride-Ge groups straddle
+                    # real G-group boundaries and read the wrong chunk selector.
+                    Ge = _fused_cap_arity(G, k)
                     csel_s, cselb_s, hasb_s, osel_s, first_s = ba[:5]
                     c2, cb2 = csel_s[::Ge], cselb_s[::Ge]
                     hb2 = hasb_s.reshape(-1, Ge).max(axis=1)
@@ -2228,10 +2252,23 @@ def _refine_cancellation(dp, x, ax, tau=1e-4, cap=1 << 17):
         sus = sus[np.argsort(np.abs(y_np[sus]))[:cap]]
     rp, ci, v = dp.host_csr
     xh = np.asarray(x).astype(np.float64)
-    fixed = np.empty(len(sus), dtype=np.float64)
-    for i, r in enumerate(sus):
-        lo, hi = rp[r], rp[r + 1]
-        fixed[i] = np.dot(v[lo:hi].astype(np.float64), xh[ci[lo:hi]])
+    # vectorized segment recompute: one gather over the suspect rows' CSR
+    # slices + a weighted bincount — a matrix with tens of thousands of
+    # legitimately tiny outputs (common in f32 at tau=1e-2) pays one numpy
+    # pass instead of a per-row python loop
+    starts = rp[sus].astype(np.int64)
+    lens = (rp[sus + 1] - rp[sus]).astype(np.int64)
+    total = int(lens.sum())
+    if total:
+        ends = np.cumsum(lens)
+        offs = (np.repeat(starts, lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(ends - lens, lens))
+        prods = v[offs].astype(np.float64) * xh[ci[offs]]
+        seg = np.repeat(np.arange(len(sus), dtype=np.int64), lens)
+        fixed = np.bincount(seg, weights=prods, minlength=len(sus))
+    else:
+        fixed = np.zeros(len(sus), dtype=np.float64)
     return ax.at[jnp.asarray(sus)].set(jnp.asarray(fixed, dtype=ax.dtype))
 
 

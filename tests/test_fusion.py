@@ -120,7 +120,7 @@ def test_fused_bucket_divisor_arity_invariants():
         assert not fi[:, 1:].any()
         # divisor re-grouping: stride-Ge selectors equal the stride-G ones
         # expanded (sub-groups inherit their G-group's selectors)
-        for Ge in (2,):
+        for Ge in (2, 4):
             if G % Ge:
                 continue
             cs_e = np.asarray(b["csel"])[::Ge].reshape(-1, G // Ge)
@@ -128,3 +128,20 @@ def test_fused_bucket_divisor_arity_invariants():
             fi_e = np.asarray(b["first"])[::Ge].reshape(-1, G // Ge)
             assert (fi_e[:, 0] == np.asarray(b["first2"])).all()
             assert not fi_e[:, 1:].any()
+
+
+def test_fused_cap_arity_divides_g():
+    """The multi-RHS VMEM cap must yield an arity that DIVIDES G for every k
+    (ADVICE r4 high: k=3 gave Ge=5 and k=5 gave Ge=3 against G in {4,8} —
+    trace-time reshape failure or silently wrong chunk selectors)."""
+    from spmv_acc_tpu.ops.swell import _fused_cap_arity
+
+    for G in (2, 4, 8):
+        for k in range(1, 17):
+            Ge = _fused_cap_arity(G, k)
+            assert Ge >= 1
+            assert G % Ge == 0, (G, k, Ge)
+            assert Ge <= max(1, 16 // k), (G, k, Ge)
+            # the cap engages exactly when the G-arity buffers blow VMEM
+            if G > max(1, 16 // k):
+                assert Ge < G
