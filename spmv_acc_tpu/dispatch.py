@@ -50,6 +50,14 @@ _ELL_CACHE: dict = {}
 # back to `flat` past this cell budget.
 _ELL_MAX_CELLS = 1 << 27
 
+# Swell-plan fill gate for the TPU path.  The per-slot kernel cost is ~0.04 ns,
+# so ns/nnz ~ (slot cost)/fill; measured anchor: uniform-scatter power-law 200k
+# at fill 0.003 ran 8.3 ns/nnz — 14x FASTER than the XLA segment paths
+# (~30-118 ns/element; PERF_NOTES round-4 'instance-level spill').  Scaling the
+# anchor to the ~30 ns/nnz XLA-flat crossover puts breakeven near fill ~0.001;
+# the old 0.02 gate wrongly sent fill 0.003-0.02 matrices to 'flat'.
+SWELL_MIN_FILL = 0.001
+
 
 def ell_cells(csr: CSR, tune: TuneConfig) -> int:
     """Padded cell count the dense ELL of `csr` would allocate."""
@@ -90,16 +98,16 @@ def _get_transposed(csr: CSR) -> CSR:
 
 
 def pick_strategy(plan: Plan, csr: Optional[CSR] = None) -> str:
-    """The reference's adaptive decision tree (hip-adaptive/adaptive.cpp:16-67),
-    re-tuned for TPU.
+    """Strategy selection.  WHAT EXECUTES ON TPU: the flagship swell kernel,
+    for essentially every real matrix — the swell-plan fill gate below
+    (SWELL_MIN_FILL) admits everything down to uniform-scatter power-law
+    structure, where swell still measured 8.3 ns/nnz vs ~118 ns/element for
+    the XLA gather paths (PERF_NOTES round-4 'instance-level spill'; every
+    corpus matrix has fill >= 0.1).  The reference's adaptive decision tree
+    (hip-adaptive/adaptive.cpp:16-67) is retained below as the CPU path and
+    the fallback for degenerate inputs (empty, or fill below the gate):
 
-    On TPU hardware, the tiled lane-gather kernel (`adaptive_plus`) wins by ~60x over
-    the XLA gather-based paths whenever the (128x128)-window fill efficiency clears a
-    small threshold (padding < ~20x still beats XLA's 6.9 ns/nnz scalar gather), so
-    it is checked first; the XLA decision tree below is the fallback and the CPU
-    path:
-
-    reference:                              TPU mapping:
+    reference:                              TPU fallback mapping:
       ① half-nnz imbalance ≥ 4×   → weighted vector-row   → 'flat' (nnz splitting is
                                                             the stronger balancer here)
       ② avg nnz/row ≤ 4           → adaptive line          → 'line' (prefix-scan)
@@ -118,9 +126,7 @@ def pick_strategy(plan: Plan, csr: Optional[CSR] = None) -> str:
             from .ops.swell import get_swell_plan
 
             dp = get_swell_plan(csr, csr.values.dtype)
-            # padding ~1/eff amplifies the swell kernel's per-slot cost; it still
-            # beats the XLA paths (~7 ns/nnz) down to eff ~0.01 — gate with margin.
-            if dp.plan.fill_efficiency >= 0.02:
+            if dp.plan.fill_efficiency >= SWELL_MIN_FILL:
                 return "swell"
     if s.half_imbalance >= IMBALANCE_RATIO:
         return "flat"

@@ -799,6 +799,281 @@ def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
     return kernel
 
 
+def _make_fused3_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
+                        is64: bool, acc: int = 0, dboth: bool = False,
+                        G: int = 2, n2: int = 1):
+    """PIPELINED vertical fusion (k=1): the fused kernel's per-iteration chain
+    tables(MXU) -> gather/Dekker/fold(VPU) -> scatter(MXU)/chain/accumulate is
+    split into THREE independent stages per grid iteration s:
+
+      TB(s)   : build group s's table sets into VMEM scratch from a one-hot
+                stream delivered one group ahead (ohn_ref)        (MXU)
+      GD(s-1) : gather + Dekker + fold of group s-1 using the tables built
+                last iteration; stash folded (p, e) + rb/occ rows (VPU)
+      FS(s-2) : scatter/classpos-mask + 2Sum chain + output accumulate of
+                group s-2 from last iteration's stash             (VPU+MXU)
+
+    No stage consumes another's result within one iteration, so the in-order
+    Mosaic issue overlaps the MXU and VPU chains (measured on the UNFUSED
+    kernel: 794 -> 562 ns/step boneS10 D=8; scripts/probe_pipe3.py).  The grid
+    runs n2 + 2 iterations with clamped index maps; iterations 0-1 write
+    garbage to the first out block, which iteration 2 overwrites (first2[0] is
+    always 1), so outputs are bit-identical to _make_fused_kernel.  Reference
+    analog: the software-pipelined/double-buffered vector-row kernels
+    (/root/reference/src/acc/hip-vector-row/opt_double_buffer.hpp:104-291)."""
+    P, boff, ohw, nval, W = _packed_rows(log2d, is64, wide, 1)
+    D = 1 << log2d
+    nrows_t = boff + P if wide else P
+    OW = (2 if is64 else 1) * ROUT
+    GT = G * nrows_t  # stacked table rows
+    bases = [0, 3] if is64 else [0]
+
+    def kernel(csel2_r, cselb2_r, hasb2_r, osel2_r, first2_r, packed_ref,
+               chunk_ref, *rest):
+        rest = list(rest)
+        chunkb_ref = rest.pop(0) if dual else None
+        ohn_ref = rest.pop(0)
+        acc_ref = rest.pop(0) if acc else None
+        o_ref = rest.pop(0)
+        if is64:
+            tsh_ref, tsl_ref, stp_ref, ste_ref, stm_ref = rest
+        else:
+            tsh_ref, stp_ref, stm_ref = rest
+            tsl_ref = ste_ref = None
+        s = pl.program_id(0)
+
+        # warm-up hygiene (same discipline as the piped kernels): zero ALL
+        # cross-iteration scratch once, so the two warm-up iterations compute
+        # EXACT ZEROS — their seed+0 writes are idempotent with the real first
+        # write at s=2 and no garbage (potential NaN/Inf, or poisoned flushes
+        # of the HBM-aliased accumulator) ever exists.  Relying on
+        # "overwritten at s=2" instead produced NaN under the production jit.
+        @pl.when(s == 0)
+        def _():
+            zrefs = [tsh_ref, stp_ref]
+            if is64:
+                zrefs += [tsl_ref, ste_ref]
+            for ref in zrefs:
+                ref[...] = jnp.zeros_like(ref)
+            stm_ref[...] = jnp.zeros_like(stm_ref)
+
+        # ---- FS reads (the stash is rewritten by GD below; loads issue first)
+        pf_flat = stp_ref[...]
+        ef_flat = ste_ref[...] if is64 else None
+        meta = stm_ref[...]
+        # ---- GD table reads (before TB's stores)
+        tsh_v = tsh_ref[...]
+        tsl_v = tsl_ref[...] if is64 else None
+        # ---- GD packed reads: group s-1 (shifted block index)
+        buf = packed_ref[0]  # (G*W, 128)
+        bs = [buf[g * W : (g + 1) * W] for g in range(G)]
+        f32 = lambda rows: jax.lax.bitcast_convert_type(rows, jnp.float32)  # noqa: E731
+        vh = jnp.concatenate([f32(b[:128]) for b in bs], 0)
+        vl = jnp.concatenate([f32(b[128:256]) for b in bs], 0) if is64 else None
+        idx = jnp.concatenate(
+            [_unpack_bytes(b[nval : nval + 32], 128) for b in bs], 0)
+        ca = chunk_ref[0]
+        cb = chunkb_ref[0] if dual else None
+
+        # ---- TB: build group s's tables (MXU; stores ordered after the reads)
+        oh2n = jnp.concatenate(
+            [_unpack_bytes(ohn_ref[0, g * ohw : (g + 1) * ohw], 4 * ohw)[:nrows_t]
+             for g in range(G)], 0)
+        if dual:  # dboth-only (the 3-way pl.when build is not pipelineable)
+            sw = (_dot1((oh2n & 1).astype(jnp.bfloat16), ca)
+                  + _dot1((oh2n >> 1).astype(jnp.bfloat16), cb))
+        else:
+            sw = _dot1(oh2n.astype(jnp.bfloat16), ca)
+        sets = _assemble_sets(sw, bases)
+        tsh_ref[:GT] = sets[0]
+        if is64:
+            tsl_ref[:GT] = sets[1]
+
+        # ---- GD: gather + Dekker + fold for group s-1
+        def ex2(t):  # (GT,128) table value -> stacked (G*128,128) pair
+            mains = [_expand_tile(t[g * nrows_t : g * nrows_t + P], D, P)
+                     for g in range(G)]
+            main = jnp.concatenate(mains, 0)
+            if not wide:
+                return main, None
+            alts = [_expand_tile(t[g * nrows_t + boff : g * nrows_t + boff + P],
+                                 D, P) for g in range(G)]
+            return main, jnp.concatenate(alts, 0)
+
+        tha, thb = ex2(tsh_v[:GT])
+        gh = _gather_sel(tha, thb, idx) if wide else _lane_gather(tha, idx)
+        p = vh * gh
+        if is64:
+            tla, tlb = ex2(tsl_v[:GT])
+            gl = _gather_sel(tla, tlb, idx) if wide else _lane_gather(tla, idx)
+            bh, bl = _split(gh)
+            ah, al = _split(vh)
+            e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+            e = e + (vh * gl + (vl * gh + vl * gl))
+            e3 = e.reshape(G, 128, 128)
+        p3 = p.reshape(G, 128, 128)
+        for _lv in range(log2d):
+            half = p3.shape[1] // 2
+            a, b = p3[:, :half], p3[:, half:]
+            ssum = a + b
+            if is64:
+                bb = ssum - a
+                err = (a - (ssum - bb)) + (b - bb)
+                e3 = e3[:, :half] + e3[:, half:] + err
+            p3 = ssum
+
+        # ---- FS: scatter + chain + accumulate for group s-2
+        pf3 = pf_flat.reshape(G, P, 128)
+        ef3 = ef_flat.reshape(G, P, 128) if is64 else None
+        subs_p: list = [None] * G
+        subs_e: list = [None] * G
+        for g in range(G):
+            sp = pf3[g]
+            se = ef3[g] if is64 else None
+            if classpos and log2d == 0:
+                pass
+            elif classpos:
+                mk = _mask_col(meta[G + g : G + g + 1])
+                sp = _expand_tile(sp, D, P) * mk
+                if is64:
+                    se = _expand_tile(se, D, P) * mk
+            else:
+                tensors = (sp, se) if is64 else (sp,)
+                outs = _scatter_exact(meta[g : g + 1], tensors, P)
+                sp = outs[0]
+                if is64:
+                    se = outs[1]
+            subs_p[g] = sp
+            subs_e[g] = se
+        # FS processes group s-2: its first flag read with the shift applied
+        # (warm-up iterations read first2[0] == 1 and write seed + exact
+        # zeros — idempotent with the real first write at s == 2)
+        first = first2_r[jnp.maximum(jnp.minimum(s - 2, np.int32(n2 - 1)), _Z)]
+
+        def chain64(cur, cure, start):
+            for g in range(start, G):
+                s1 = cur + subs_p[g]
+                b1 = s1 - cur
+                e1 = (cur - (s1 - b1)) + (subs_p[g] - b1)
+                cure = cure + subs_e[g] + e1
+                cur = s1
+            return cur, cure
+
+        @pl.when(first == 1)
+        def _():
+            if is64:
+                if acc == 2:
+                    cur, cure = chain64(acc_ref[0, :ROUT], acc_ref[0, ROUT:], 0)
+                else:
+                    cur, cure = chain64(subs_p[0], subs_e[0], 1)
+                o_ref[0, :ROUT] = cur
+                o_ref[0, ROUT:] = cure
+            else:
+                tot = acc_ref[0, :ROUT] if acc == 2 else subs_p[0]
+                for g in range(0 if acc == 2 else 1, G):
+                    tot = tot + subs_p[g]
+                o_ref[0, :ROUT] = tot
+
+        @pl.when(first == 0)
+        def _():
+            if is64:
+                cur, cure = chain64(o_ref[0, :ROUT], o_ref[0, ROUT:], 0)
+                o_ref[0, :ROUT] = cur
+                o_ref[0, ROUT:] = cure
+            else:
+                tot = o_ref[0, :ROUT]
+                for g in range(G):
+                    tot = tot + subs_p[g]
+                o_ref[0, :ROUT] = tot
+
+        # ---- GD stash writes (after FS consumed last iteration's stash)
+        stp_ref[...] = p3.reshape(G * P, 128)
+        if is64:
+            ste_ref[...] = e3.reshape(G * P, 128)
+        for g, b in enumerate(bs):
+            stm_ref[g : g + 1] = b[nval + 32 + ohw : nval + 33 + ohw]
+            stm_ref[G + g : G + g + 1] = b[nval + 33 + ohw : nval + 34 + ohw]
+
+    return kernel
+
+
+def _call_fused3(csel2, cselb2, hasb2, osel2, first2, packed_f, chunks, log2d,
+                 wide, nout, is64, dual, classpos, acc=None, acc_mode=0,
+                 dboth=False, G=2):
+    """Pipelined fused call (k=1): grid n2 + 2 with clamped index maps — the
+    packed block is delivered one iteration late (GD stage), the chunk blocks
+    and a one-hot stream one iteration early (TB stage), and the out/acc
+    blocks two late (FS stage).  The shifted prefetch arrays and the one-hot
+    stream are derived on device from the production group arrays (a few KB
+    per call — negligible next to the bucket's packed DMA)."""
+    n2 = csel2.shape[0]
+    W = packed_f.shape[1]
+    packed2 = packed_f.reshape(n2, G * W, 128)
+    owidth = (2 if is64 else 1) * ROUT
+    P, boff, ohw, nval, _ = _packed_rows(log2d, is64, wide, 1)
+    nrows_t = boff + P if wide else P
+    N = n2 + 2
+    nm1 = np.int32(n2 - 1)
+    # the ORIGINAL group arrays feed the scalar prefetch; all pipeline shifts
+    # happen as index arithmetic in the index maps / kernel (TB stage at
+    # min(s, n2-1), GD at clamp(s-1), FS at clamp(s-2)) — no derived prefetch
+    # tensors (host-precomputed prefetch arrays are the only pattern the rest
+    # of the kernels use, and the derived-gather form mis-executed under the
+    # production jit)
+    _tb = lambda s: jnp.minimum(s, nm1)  # noqa: E731
+    _fs = lambda s: jnp.maximum(jnp.minimum(s - 2, nm1), _Z)  # noqa: E731
+    # one-hot stream: group g's packed word rows [g*W + nval+32, ... + ohw)
+    ohs2 = jnp.concatenate(
+        [packed2[:, g * W + nval + 32 : g * W + nval + 32 + ohw]
+         for g in range(G)], axis=1)
+    in_specs = [
+        pl.BlockSpec((1, G * W, 128),
+                     lambda s, *_: (jnp.maximum(jnp.minimum(s - 1, nm1), _Z),
+                                    _Z, _Z)),
+        pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
+                     lambda s, c2, *_: (c2[_tb(s)], _Z, _Z)),
+    ]
+    if dual:
+        in_specs.append(pl.BlockSpec((1, chunks.shape[1], chunks.shape[2]),
+                                     lambda s, c2, cb2, *_: (cb2[_tb(s)], _Z, _Z)))
+    in_specs.append(pl.BlockSpec((1, G * ohw, 128),
+                                 lambda s, *_: (_tb(s), _Z, _Z)))
+    io_alias = {}
+    if acc_mode:
+        if acc_mode == 2:
+            in_specs.append(pl.BlockSpec(
+                (1, owidth, 128),
+                lambda s, c2, cb2, hb2, os2, *_: (os2[_fs(s)], _Z, _Z)))
+        else:
+            in_specs.append(pl.BlockSpec((1, owidth, 128),
+                                         lambda s, *_: (_Z, _Z, _Z)))
+        io_alias = {5 + len(in_specs) - 1: 0}
+    nsets = 2 if is64 else 1
+    GT8 = -(-(G * nrows_t) // 8) * 8
+    scratch = ([pltpu.VMEM((GT8, 128), jnp.float32) for _ in range(nsets)]
+               + [pltpu.VMEM((G * P, 128), jnp.float32)
+                  for _ in range(2 if is64 else 1)]
+               + [pltpu.VMEM((max(8, 2 * G), 128), jnp.int32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(N,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, owidth, 128),
+                               lambda s, c2, cb2, hb2, os2, *_: (os2[_fs(s)], _Z, _Z)),
+        scratch_shapes=scratch,
+    )
+    args = ((csel2, cselb2, hasb2, osel2, first2, packed2, chunks)
+            + ((chunks,) if dual else ()) + (ohs2,)
+            + ((acc,) if acc_mode else ()))
+    return pl.pallas_call(
+        _make_fused3_kernel(log2d, wide, dual, classpos, is64, acc_mode, dboth,
+                            G, n2),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nout, owidth, 128), jnp.float32),
+        input_output_aliases=io_alias,
+    )(*args)
+
+
 def _greedy_groups(csel, cselb, hasb, osel, first, dual, G):
     """Greedy G-grouping of consecutive steps with selector relaxation: a
     pure-a step's cselb (and a pure-b step's csel) is a sticky-filled
@@ -1817,7 +2092,12 @@ def _statics(dp: _DeviceSwellPlan, interp: bool):
     import os
 
     p = dp.plan
-    pipe = dp.r == 1 and not os.environ.get("SPMV_TPU_NO_PIPE")
+    # pipe: 0 = off, 1 = software-pipelined table builds (unfused kernels),
+    # 3 = 1 plus the PIPELINED fused kernel (_call_fused3) for k=1 fused
+    # buckets (SPMV_TPU_PIPE3=0 opts out)
+    pipe = 0
+    if dp.r == 1 and not os.environ.get("SPMV_TPU_NO_PIPE"):
+        pipe = 1 if os.environ.get("SPMV_TPU_PIPE3", "1") == "0" else 3
     # per-bucket unconditional both-sides table build: pays the absent side's
     # matmuls on pure steps but removes the pl.when predication tax everywhere
     # and re-enables software pipelining for dual buckets — wins when the
@@ -2037,11 +2317,13 @@ def swell_ax(bargs, tail, x, statics):
             mode = 2 if j > 0 else (1 if acc is not None else 0)
             if len(ba) == 12 and fuseds[i]:
                 # vertical step fusion: G steps per grid iteration on the
-                # group-aligned arrays (see _make_fused_kernel)
-                acc = _call_fused(ba[7], ba[8], ba[9], ba[10], ba[11], ba[5],
-                                  chunks, log2d, wide, nout, is64, dual,
-                                  classpos, acc=acc, acc_mode=mode, dboth=dboth,
-                                  G=int(fuseds[i]))
+                # group-aligned arrays (see _make_fused_kernel); pipe==3 runs
+                # the 3-stage PIPELINED variant (same arrays, bit-identical)
+                call_g = _call_fused3 if pipe == 3 else _call_fused
+                acc = call_g(ba[7], ba[8], ba[9], ba[10], ba[11], ba[5],
+                             chunks, log2d, wide, nout, is64, dual,
+                             classpos, acc=acc, acc_mode=mode, dboth=dboth,
+                             G=int(fuseds[i]))
                 continue
             ohs = None
             # branched-build dual buckets keep the unpiped path: their 3-way

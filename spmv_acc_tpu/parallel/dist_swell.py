@@ -143,24 +143,40 @@ def build_dist_swell(csr: CSR, num_shards: int, dtype=None) -> DistSwellPlan:
                     c_hi[d] = max(c_hi[d], int(cb.max()))
         all_fields.append(fields)
         all_slices.append(slices)
+    delta = plan.delta
+    L = rows_local
+    # fold the COO tail's column spans into the per-shard chunk windows BEFORE
+    # deciding halo feasibility: tail columns ride the same 1-hop window as the
+    # kernel chunks (round-4 restricted tailed plans to all-gather — lifted;
+    # only tails reaching beyond the neighbor blocks force all-gather now).
+    # Element g of the padded-global x lives in chunk ((g // r) + delta) // _CS
+    # (the inverse of ws = (c_lo*_CS - delta) * r below).
+    tr_g = np.asarray(plan.tail_rows)
+    tail_splits = None
+    if len(tr_g):
+        tail_splits = np.concatenate(
+            [[0], np.searchsorted(tr_g, np.arange(1, D) * rows_local), [len(tr_g)]])
+        tc_g = np.asarray(plan.tail_ci)
+        for d in range(D):
+            lo, hi = int(tail_splits[d]), int(tail_splits[d + 1])
+            if hi > lo:
+                tchunks = ((tc_g[lo:hi] // r) + delta) // _CS
+                c_lo[d] = min(c_lo[d], int(tchunks.min()))
+                c_hi[d] = max(c_hi[d], int(tchunks.max()))
     idle = c_hi < 0
     d_idx = np.arange(D)
     # idle shards (no steps anywhere) read only zero one-hots; park their window
     # on their own x block so the slice stays near the shard
-    delta = plan.delta
-    L = rows_local
     c_lo[idle] = np.maximum(0, (d_idx[idle] * (L // r) + delta) // _CS)
     c_hi[idle] = c_lo[idle]
     win_chunks = int((c_hi - c_lo).max()) + 1
     # 1-hop feasibility: every live shard's element window must sit inside its
     # own x block plus the two neighbor blocks (edge shards extend into the
-    # zero padding, which matches the global zero regions exactly).  A COO
-    # tail (spilled sparse cells, VERDICT r3 #6) gathers x at arbitrary
-    # columns, so tailed plans use the all-gather path.
+    # zero padding, which matches the global zero regions exactly)
     ws = (c_lo * _CS - delta) * r
     we = ws + win_chunks * _CS * r
     live = ~idle
-    halo_ok = plan.tail_rows.shape[0] == 0 and bool(
+    halo_ok = bool(
         np.all((~live) | (d_idx == 0) | (ws >= (d_idx - 1) * L))
         and np.all((~live) | (d_idx == D - 1) | (we <= (d_idx + 2) * L))
     )
@@ -195,22 +211,29 @@ def build_dist_swell(csr: CSR, num_shards: int, dtype=None) -> DistSwellPlan:
         stacked_buckets.append(stacked)
     # per-shard COO tail: split the row-sorted global tail at shard row bounds,
     # localize rows, pad with row == rows_local (sorted AND out-of-range, so
-    # the in-shard segment_sum drops the padding)
+    # the in-shard segment_sum drops the padding).  halo plans also localize
+    # the COLUMN ids into the shard's element window (tail x rides the same
+    # 1-hop exchange as the kernel chunks; spans were folded into c_lo above)
     tdt = (jnp.float64 if (dtype == np.float64 and jax.config.jax_enable_x64)
            else jnp.float32)
     tr = np.asarray(plan.tail_rows)
     if len(tr):
         tc, tvv = np.asarray(plan.tail_ci), np.asarray(plan.tail_v)
-        splits = np.concatenate(
-            [[0], np.searchsorted(tr, np.arange(1, D) * rows_local), [len(tr)]])
+        splits = tail_splits
         tmax = int(np.max(np.diff(splits)))
         trs = np.full((D, tmax), rows_local, np.int32)
         tcs = np.zeros((D, tmax), np.int32)
         tvs = np.zeros((D, tmax), np.float64)
         for d in range(D):
             lo, hi = int(splits[d]), int(splits[d + 1])
+            tci_d = tc[lo:hi]
+            if halo_ok:
+                tci_d = tci_d - ws[d]
+                assert len(tci_d) == 0 or (
+                    tci_d.min() >= 0 and tci_d.max() < win_chunks * _CS * r), \
+                    "tail column escaped its shard window despite span folding"
             trs[d, : hi - lo] = tr[lo:hi] - d * rows_local
-            tcs[d, : hi - lo] = tc[lo:hi]
+            tcs[d, : hi - lo] = tci_d
             tvs[d, : hi - lo] = tvv[lo:hi]
         tail = (jnp.asarray(trs), jnp.asarray(tcs), jnp.asarray(tvs, dtype=tdt))
     else:

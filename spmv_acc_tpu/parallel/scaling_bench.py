@@ -19,6 +19,59 @@ import sys
 import numpy as np
 
 
+# Chip parameters for the modeled-ICI bridge (public "How to Scale Your Model"
+# numbers; BASELINE's >=75% target names a v5p slice, the bench chip is v5e).
+# ICI figures are per link per direction; the 1-hop halo exchange runs the two
+# directional sends on different links of the torus axis concurrently.
+_CHIPS = {
+    "v5p": dict(hbm_gbs=2765.0, ici_gbs=90.0),
+    "v5e": dict(hbm_gbs=819.0, ici_gbs=45.0),
+}
+
+
+def model_ici_efficiency(dsp, csr, achieved_roofline=0.26):
+    """Per-shard modeled ICI record: halo bytes exchanged vs local compute
+    bytes, and the implied weak-scaling efficiency on real hardware.
+
+    The CPU-mesh 'structural_efficiency' gate proves distribution adds no
+    structural overhead, but it cannot argue BASELINE's >=75% target on a real
+    slice (one host serializes compute).  This model bridges the gap with
+    arithmetic: per device, T_comp = local_bytes / (rf * HBM) with rf the
+    ACHIEVED single-chip roofline fraction on this matrix family (banded
+    bw~17 measures ~0.26, PERF_NOTES), T_ici = directional halo volume / link
+    bandwidth (1-hop halo: one x block each way on separate links; all-gather:
+    a (D-1)-step ring over both directions), and
+    modeled_efficiency = T_comp / (T_comp + T_ici) — conservative: assumes NO
+    compute/collective overlap.  Reference frame: SURVEY §5 'Distributed
+    communication backend' (new scope; the reference is single-GPU)."""
+    D = dsp.num_shards
+    L = dsp.rows_local
+    isz = np.dtype(dsp.dtype).itemsize
+    rp = np.asarray(csr.row_ptr)
+    bounds = np.minimum(np.arange(D + 1) * L, csr.rows)
+    nnz_d = np.diff(rp[bounds]).astype(np.int64)
+    # reference bytes model per shard (statistics_logger.cpp:43)
+    local_bytes = isz * (2 * L + nnz_d) + 4 * (L + 1 + nnz_d)
+    if dsp.halo_ok:
+        halo_dir_bytes = L * isz  # one block per direction, concurrent links
+    else:
+        halo_dir_bytes = (D - 1) * L * isz / 2  # ring all-gather, both dirs
+    rec = dict(
+        halo_on=bool(dsp.halo_ok),
+        tail_nnz=int(dsp.tail[0].shape[0] and int((np.asarray(dsp.tail[0]) < L).sum())),
+        halo_dir_bytes_per_dev=int(halo_dir_bytes),
+        local_bytes_per_dev_max=int(local_bytes.max()),
+        achieved_roofline=achieved_roofline,
+    )
+    for chip, c in _CHIPS.items():
+        t_comp = float(local_bytes.max()) / (achieved_roofline * c["hbm_gbs"] * 1e9)
+        t_ici = float(halo_dir_bytes) / (c["ici_gbs"] * 1e9)
+        rec[f"t_comp_us_{chip}"] = round(t_comp * 1e6, 2)
+        rec[f"t_ici_us_{chip}"] = round(t_ici * 1e6, 2)
+        rec[f"modeled_efficiency_{chip}"] = round(t_comp / (t_comp + t_ici), 4)
+    return rec
+
+
 def run_weak_scaling(device_counts, rows_per_device=32768, avg_nnz=16, iters=20,
                      dtype=None, engine="swell"):
     """``engine='swell'`` (default): the flagship kernels as local compute
@@ -128,6 +181,11 @@ def run_weak_scaling(device_counts, rows_per_device=32768, avg_nnz=16, iters=20,
         eff = per_dev / base_rate if base_rate else 0.0
         row = dict(devices=d, rows=m, nnz=csr.nnz, us_per_spmv=round(per_us, 1),
                    nnz_per_s=round(rate), efficiency=round(eff, 4))
+        if engine == "swell" and d > 1:
+            # modeled ICI bridge (halo bytes vs compute bytes at real chip
+            # bandwidths) — the argument from the CPU-mesh structural gate to
+            # BASELINE's >=75% real-slice target
+            row["modeled_ici"] = model_ici_efficiency(dsp, csr)
         msg = (f"D={d}: m={m} nnz={csr.nnz} {per_us:.0f}us/spmv "
                f"{rate/1e6:.1f}M nnz/s eff={eff:.2%}")
         if single_us is not None and per_us > 0:
@@ -165,7 +223,11 @@ def main(argv=None) -> int:
                  "serialized on one device vs distributed, dist_swell_serial_fn) "
                  "is the structural gate — ~1.0 iff distribution adds no "
                  "overhead; readings slightly >1 mean the mesh overlapped "
-                 "host work the serial program runs back-to-back"),
+                 "host work the serial program runs back-to-back; "
+                 "'modeled_ici' bridges to real hardware: halo bytes vs local "
+                 "compute bytes at published v5p/v5e HBM+ICI bandwidths and "
+                 "the achieved single-chip roofline, assuming NO overlap "
+                 "(conservative) — see model_ici_efficiency"),
     }
     print(json.dumps(doc))
     if args.out:

@@ -206,3 +206,37 @@ def test_ell_blowup_guard_falls_back(monkeypatch):
         out = np.asarray(dispatch.spmv(csr, jnp.asarray(x), jnp.asarray(y),
                                        alpha=1.0, beta=1.0, strategy=strat))
         assert verify_y(out, golden).ok, strat
+
+
+def test_swell_gate_boundary(monkeypatch):
+    """VERDICT r4 #7: pin the TPU swell-gate behavior.  The gate constant is
+    SWELL_MIN_FILL (0.001, derived from the measured 8.3 ns/nnz at fill 0.003
+    vs ~30 ns/nnz XLA paths — PERF_NOTES round-4); a plan at or above it must
+    dispatch to swell, below it must fall to the reference decision tree."""
+    import types
+
+    from spmv_acc_tpu import dispatch
+    from spmv_acc_tpu.dispatch import SWELL_MIN_FILL, pick_strategy
+    from spmv_acc_tpu.plan import get_plan
+
+    csr = banded_csr(300, bandwidth=5, seed=9)
+    plan = get_plan(csr)
+
+    class _FakeDP:
+        def __init__(self, fill):
+            self.plan = types.SimpleNamespace(fill_efficiency=fill)
+
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    import spmv_acc_tpu.ops.swell as swell_mod
+
+    for fill, expect_swell in ((SWELL_MIN_FILL, True),
+                               (SWELL_MIN_FILL * 0.5, False)):
+        monkeypatch.setattr(swell_mod, "get_swell_plan",
+                            lambda c, d, _f=fill: _FakeDP(_f))
+        got = pick_strategy(plan, csr)
+        if expect_swell:
+            assert got == "swell", (fill, got)
+        else:
+            assert got != "swell", (fill, got)

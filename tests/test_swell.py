@@ -535,3 +535,58 @@ def test_spill_auto_engages_on_scattered_outliers(monkeypatch):
     clean = banded_csr(m, bandwidth=5, seed=21, dtype=np.float64)
     dp2 = get_swell_plan(clean, np.float64)
     assert dp2.plan.tail_rows.shape[0] == 0, "auto spill fired on a clean band"
+
+
+def test_spill_tail_dist_swell_halo_golden(monkeypatch):
+    """VERDICT r4 #4: a tailed plan whose tail columns stay within the 1-hop
+    neighborhood must KEEP the halo path (round 4 dropped every tailed plan to
+    all-gather).  Outliers land exactly one shard block ahead of their row, in
+    otherwise-unvisited (out-window, chunk) cells, so they spill to the COO
+    tail; the tail columns are folded into the per-shard chunk windows and
+    localized, and the ppermute halo exchange golden-matches."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from spmv_acc_tpu.formats.convert import coo_to_csr_arrays
+    from spmv_acc_tpu.formats.containers import CSR
+    from spmv_acc_tpu.formats.generate import banded_csr, random_x_y
+    from spmv_acc_tpu.ops.swell import get_swell_plan
+    from spmv_acc_tpu.parallel.dist_swell import (
+        build_dist_swell, dist_swell_serial_fn, dist_swell_spmv_fn, pad_global)
+
+    monkeypatch.setenv("SPMV_TPU_SPILL", "16")
+    monkeypatch.setenv("SPMV_TPU_NO_PLAN_CACHE", "1")
+    D = 4
+    L = 16384  # one x chunk per shard block
+    m = D * L
+    base = banded_csr(m, bandwidth=5, seed=31, dtype=np.float64)
+    rp, ci, v, _ = base.to_numpy()
+    rng = np.random.default_rng(32)
+    rows_b = np.repeat(np.arange(m), np.diff(rp))
+    # ~12 outliers per shard (< 16: the whole cell spills), mid-chunk offsets
+    # so the landing cell has no banded-boundary traffic, one block ahead
+    ro = np.concatenate([d * L + rng.integers(4000, 8000, size=12)
+                         for d in range(D - 1)])
+    co = ro + L
+    vo = rng.uniform(-1, 1, size=len(ro))
+    rp2, ci2, v2 = coo_to_csr_arrays(
+        np.concatenate([rows_b, ro]), np.concatenate([ci, co]),
+        np.concatenate([v, vo]), (m, m))
+    csr = CSR.from_numpy(rp2, ci2, v2, (m, m))
+    assert get_swell_plan(csr, np.float64).plan.tail_rows.shape[0] > 0, \
+        "fixture produced no tail"
+    dsp = build_dist_swell(csr, D)
+    assert dsp.halo_ok, "1-hop tail columns must keep the halo path"
+    assert dsp.tail[0].ndim == 2 and dsp.tail[0].shape[0] == D
+    mesh = Mesh(np.array(jax.devices()[:D]), ("x",))
+    run = dist_swell_spmv_fn(dsp, mesh)  # auto-selects halo
+    x, _ = random_x_y(m, m, seed=6, dtype=np.float64)
+    golden = np.zeros(m)
+    np.add.at(golden, np.repeat(np.arange(m), np.diff(rp2)), v2 * x[ci2])
+    xp = jax.device_put(pad_global(dsp, jnp.asarray(x)), NamedSharding(mesh, P("x")))
+    y = np.asarray(run(xp))[:m]
+    assert verify_y(y, golden).ok
+    # serial structural baseline must agree bit-for-bit on the halo-tail plan
+    y_ser = np.asarray(dist_swell_serial_fn(dsp)(pad_global(dsp, jnp.asarray(x))))[:m]
+    np.testing.assert_allclose(y_ser, y, rtol=1e-12, atol=1e-300)
