@@ -119,6 +119,8 @@ def emit(partial: bool):
         out["skipped"] = _STATE["skipped"]
     if _STATE["spmm"]:
         out["spmm_k8_speedup_geomean"] = round(geomean(_STATE["spmm"]), 2)
+    if _STATE.get("spgemm"):
+        out.update(_STATE["spgemm"])
     if _STATE.get("solver"):
         out.update(_STATE["solver"])
     print(json.dumps(out), flush=True)
@@ -293,6 +295,50 @@ def bench_spmm(name: str, spmv_per_us: float, log):
     print(f"  spmm {name}: k={SPMM_K} {per_us:.1f}us/iter vs {SPMM_K}x{spmv_per_us:.1f}us "
           f"chained SpMV -> speedup {speedup:.2f}x", file=log, flush=True)
     return speedup
+
+
+SPGEMM_MATRICES = ["af23560", "epb1", "dw4096"]
+
+
+def bench_spgemm(log):
+    """SpGEMM section (VERDICT r4 #6: the one BASELINE capability with zero
+    recorded TPU evidence): C = A @ A on corpus matrices via the two-phase
+    symbolic/numeric split (ops/spgemm.py) — symbolic host seconds, numeric
+    device us/iter (chained slope), verified against the host Gustavson
+    golden.  Matrices are the small-set members whose product expansion stays
+    bounded (A^2 products ~ nnz * avg_row; the large FEM set would expand to
+    10^8-10^9 products host-side)."""
+    from spmv_acc_tpu.ops.spgemm import spgemm_host, spgemm_numeric, spgemm_symbolic
+    from spmv_acc_tpu.utils.timer import time_device_loop
+
+    out = {}
+    all_ok = True
+    for name in SPGEMM_MATRICES:
+        csr = example_like(name, dtype=DTYPE)
+        t0 = time.perf_counter()
+        pattern, a_pos, b_pos, out_pos, c_nnz = spgemm_symbolic(csr, csr)
+        t_sym = time.perf_counter() - t0
+        av = jnp.asarray(csr.values)
+        c_vals = np.asarray(spgemm_numeric(av, av, a_pos, b_pos, out_pos, c_nnz))
+        rp, ci, v, shape = csr.to_numpy()
+        g_rp, g_ci, g_v, _ = spgemm_host(rp, ci, v, shape, rp, ci, v, shape)
+        ok = (c_nnz == len(g_ci)
+              and np.allclose(c_vals, g_v, rtol=1e-7, atol=1e-12))
+        all_ok &= bool(ok)
+
+        def step(vals):
+            c = spgemm_numeric(vals, av, a_pos, b_pos, out_pos, c_nnz)
+            return vals * (1.0 + jnp.mean(c * c).astype(vals.dtype) * 1e-30)
+
+        per_us, _ = time_device_loop(step, av, iters=32)
+        print(f"  spgemm {name}: A@A nnz {csr.nnz} -> {c_nnz}, symbolic "
+              f"{t_sym:.2f}s, numeric {per_us:.0f}us/iter, verify "
+              f"{'OK' if ok else 'FAIL'}", file=log, flush=True)
+        out[f"spgemm_{name}_symbolic_s"] = round(t_sym, 2)
+        out[f"spgemm_{name}_numeric_us"] = round(per_us, 1)
+        out[f"spgemm_{name}_c_nnz"] = int(c_nnz)
+    out["spgemm_verify_all_pass"] = bool(all_ok)
+    return out
 
 
 SOLVER_MATRIX = os.environ.get("SPMV_TPU_BENCH_SOLVER_MATRIX", "Ga41As41H72")
@@ -534,6 +580,14 @@ def main():
                 print(f"  spmm {name}: ERROR {type(e).__name__}: {e}", file=log, flush=True)
             finally:
                 _clear_device_caches()
+    if (time.perf_counter() - _T_START <= BUDGET_S
+            and os.environ.get("SPMV_TPU_BENCH_SPGEMM", "1") != "0"):
+        try:
+            _STATE["spgemm"] = bench_spgemm(log)
+        except Exception as e:
+            print(f"  spgemm: ERROR {type(e).__name__}: {e}", file=log, flush=True)
+        finally:
+            _clear_device_caches()
     if (time.perf_counter() - _T_START <= BUDGET_S
             and os.environ.get("SPMV_TPU_BENCH_SOLVER", "1") != "0"):
         try:
