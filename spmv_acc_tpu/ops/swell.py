@@ -2318,12 +2318,36 @@ def swell_ax(bargs, tail, x, statics):
             if len(ba) == 12 and fuseds[i]:
                 # vertical step fusion: G steps per grid iteration on the
                 # group-aligned arrays (see _make_fused_kernel); pipe==3 runs
-                # the 3-stage PIPELINED variant (same arrays, bit-identical)
-                call_g = _call_fused3 if pipe == 3 else _call_fused
-                acc = call_g(ba[7], ba[8], ba[9], ba[10], ba[11], ba[5],
-                             chunks, log2d, wide, nout, is64, dual,
-                             classpos, acc=acc, acc_mode=mode, dboth=dboth,
-                             G=int(fuseds[i]))
+                # the 3-stage PIPELINED variant (same arrays, bit-identical).
+                # fused3's cross-iteration stash + table scratch add
+                # ~G*P-proportional VMEM on top of the fused budget; G*P=1024
+                # (G=8, D=1) measured 116KB over the 16MB scoped limit on
+                # Bump_2911.  Over-budget buckets run fused3 at the largest
+                # power-of-two DIVISOR arity that fits (the padded buffer is
+                # valid at any divisor arity — same stride-selector derivation
+                # as the multi-RHS VMEM cap in swell_amx); only Ge=1 falls all
+                # the way back to the plain fused kernel.
+                G = int(fuseds[i])
+                c2, cb2, hb2, os2, fi2 = ba[7], ba[8], ba[9], ba[10], ba[11]
+                Ge = G
+                if pipe == 3:
+                    while Ge > 1 and Ge * (128 >> log2d) > 512:
+                        Ge >>= 1
+                if pipe == 3 and Ge > 1:
+                    if Ge != G:
+                        csel_s, cselb_s, hasb_s, osel_s, first_s = ba[:5]
+                        c2, cb2 = csel_s[::Ge], cselb_s[::Ge]
+                        hb2 = hasb_s.reshape(-1, Ge).max(axis=1)
+                        os2, fi2 = osel_s[::Ge], first_s[::Ge]
+                    acc = _call_fused3(c2, cb2, hb2, os2, fi2, ba[5],
+                                       chunks, log2d, wide, nout, is64, dual,
+                                       classpos, acc=acc, acc_mode=mode,
+                                       dboth=dboth, G=Ge)
+                else:
+                    acc = _call_fused(c2, cb2, hb2, os2, fi2, ba[5],
+                                      chunks, log2d, wide, nout, is64, dual,
+                                      classpos, acc=acc, acc_mode=mode,
+                                      dboth=dboth, G=G)
                 continue
             ohs = None
             # branched-build dual buckets keep the unpiped path: their 3-way
