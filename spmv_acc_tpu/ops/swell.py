@@ -2333,6 +2333,11 @@ def swell_ax(bargs, tail, x, statics):
                 if pipe == 3:
                     while Ge > 1 and Ge * (128 >> log2d) > 512:
                         Ge >>= 1
+                # the pipeline's two warm-up iterations only amortize on
+                # buckets with enough groups (af23560's 3-group bucket paid
+                # +2 x ~4us iters for a ~10% per-iter gain: 43 -> 50us)
+                if int(ba[4].shape[0]) // Ge < 16:
+                    Ge = 1
                 if pipe == 3 and Ge > 1:
                     if Ge != G:
                         csel_s, cselb_s, hasb_s, osel_s, first_s = ba[:5]
