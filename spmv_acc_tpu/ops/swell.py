@@ -801,8 +801,8 @@ def _make_fused_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
 
 def _make_fused3_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
                         is64: bool, acc: int = 0, dboth: bool = False,
-                        G: int = 2, n2: int = 1):
-    """PIPELINED vertical fusion (k=1): the fused kernel's per-iteration chain
+                        G: int = 2, n2: int = 1, k: int = 1):
+    """PIPELINED vertical fusion: the fused kernel's per-iteration chain
     tables(MXU) -> gather/Dekker/fold(VPU) -> scatter(MXU)/chain/accumulate is
     split into THREE independent stages per grid iteration s:
 
@@ -816,10 +816,15 @@ def _make_fused3_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
     No stage consumes another's result within one iteration, so the in-order
     Mosaic issue overlaps the MXU and VPU chains (measured on the UNFUSED
     kernel: 794 -> 562 ns/step boneS10 D=8; scripts/probe_pipe3.py).  The grid
-    runs n2 + 2 iterations with clamped index maps; iterations 0-1 write
-    garbage to the first out block, which iteration 2 overwrites (first2[0] is
-    always 1), so outputs are bit-identical to _make_fused_kernel.  Reference
-    analog: the software-pipelined/double-buffered vector-row kernels
+    runs n2 + 2 iterations with clamped index maps; ALL cross-iteration
+    scratch is zeroed at s == 0 so the two warm-up iterations compute exact
+    zeros (seed+0 writes, idempotent with the real first write at s == 2) —
+    outputs are bit-identical to _make_fused_kernel.  ``k > 1``: multi-RHS
+    SpMM — the k columns share the packed DMA, index unpack, and one-hot
+    stream; tables/gather/fold/scatter repeat per column (per-column table
+    sets live in their own scratch refs, matching _make_fused_kernel's
+    per-column build).  Reference analog: the software-pipelined /
+    double-buffered vector-row kernels
     (/root/reference/src/acc/hip-vector-row/opt_double_buffer.hpp:104-291)."""
     P, boff, ohw, nval, W = _packed_rows(log2d, is64, wide, 1)
     D = 1 << log2d
@@ -827,6 +832,8 @@ def _make_fused3_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
     OW = (2 if is64 else 1) * ROUT
     GT = G * nrows_t  # stacked table rows
     bases = [0, 3] if is64 else [0]
+    nsets = 2 if is64 else 1
+    spl = (6 if is64 else 3) * CW  # lanes per x slice (k > 1 chunk layout)
 
     def kernel(csel2_r, cselb2_r, hasb2_r, osel2_r, first2_r, packed_ref,
                chunk_ref, *rest):
@@ -835,11 +842,11 @@ def _make_fused3_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
         ohn_ref = rest.pop(0)
         acc_ref = rest.pop(0) if acc else None
         o_ref = rest.pop(0)
-        if is64:
-            tsh_ref, tsl_ref, stp_ref, ste_ref, stm_ref = rest
-        else:
-            tsh_ref, stp_ref, stm_ref = rest
-            tsl_ref = ste_ref = None
+        ts_refs = rest[: nsets * k]  # [hi_0..hi_{k-1}, (lo_0..lo_{k-1})]
+        rest = rest[nsets * k :]
+        stp_ref = rest.pop(0)
+        ste_ref = rest.pop(0) if is64 else None
+        stm_ref = rest.pop(0)
         s = pl.program_id(0)
 
         # warm-up hygiene (same discipline as the piped kernels): zero ALL
@@ -850,10 +857,7 @@ def _make_fused3_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
         # "overwritten at s=2" instead produced NaN under the production jit.
         @pl.when(s == 0)
         def _():
-            zrefs = [tsh_ref, stp_ref]
-            if is64:
-                zrefs += [tsl_ref, ste_ref]
-            for ref in zrefs:
+            for ref in ts_refs + [stp_ref] + ([ste_ref] if is64 else []):
                 ref[...] = jnp.zeros_like(ref)
             stm_ref[...] = jnp.zeros_like(stm_ref)
 
@@ -862,8 +866,7 @@ def _make_fused3_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
         ef_flat = ste_ref[...] if is64 else None
         meta = stm_ref[...]
         # ---- GD table reads (before TB's stores)
-        tsh_v = tsh_ref[...]
-        tsl_v = tsl_ref[...] if is64 else None
+        ts_vals = [ref[...] for ref in ts_refs]
         # ---- GD packed reads: group s-1 (shifted block index)
         buf = packed_ref[0]  # (G*W, 128)
         bs = [buf[g * W : (g + 1) * W] for g in range(G)]
@@ -875,21 +878,27 @@ def _make_fused3_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
         ca = chunk_ref[0]
         cb = chunkb_ref[0] if dual else None
 
-        # ---- TB: build group s's tables (MXU; stores ordered after the reads)
+        # ---- TB: build group s's tables per column (MXU; stores ordered
+        # after the reads above).  k == 1 uses the chunk blocks unsliced (a
+        # [:, 0:spl] identity slice is a real copy in Mosaic)
         oh2n = jnp.concatenate(
             [_unpack_bytes(ohn_ref[0, g * ohw : (g + 1) * ohw], 4 * ohw)[:nrows_t]
              for g in range(G)], 0)
-        if dual:  # dboth-only (the 3-way pl.when build is not pipelineable)
-            sw = (_dot1((oh2n & 1).astype(jnp.bfloat16), ca)
-                  + _dot1((oh2n >> 1).astype(jnp.bfloat16), cb))
-        else:
-            sw = _dot1(oh2n.astype(jnp.bfloat16), ca)
-        sets = _assemble_sets(sw, bases)
-        tsh_ref[:GT] = sets[0]
-        if is64:
-            tsl_ref[:GT] = sets[1]
+        oh_a = (oh2n & 1).astype(jnp.bfloat16) if dual else oh2n.astype(jnp.bfloat16)
+        oh_b = (oh2n >> 1).astype(jnp.bfloat16) if dual else None
+        for c in range(k):
+            ca_c = ca if k == 1 else ca[:, c * spl : (c + 1) * spl]
+            if dual:  # dboth-only (the 3-way pl.when build is not pipelineable)
+                cb_c = cb if k == 1 else cb[:, c * spl : (c + 1) * spl]
+                sw = _dot1(oh_a, ca_c) + _dot1(oh_b, cb_c)
+            else:
+                sw = _dot1(oh_a, ca_c)
+            sets = _assemble_sets(sw, bases)
+            ts_refs[c][:GT] = sets[0]
+            if is64:
+                ts_refs[k + c][:GT] = sets[1]
 
-        # ---- GD: gather + Dekker + fold for group s-1
+        # ---- GD: gather + Dekker + fold for group s-1, per column
         def ex2(t):  # (GT,128) table value -> stacked (G*128,128) pair
             mains = [_expand_tile(t[g * nrows_t : g * nrows_t + P], D, P)
                      for g in range(G)]
@@ -900,96 +909,117 @@ def _make_fused3_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
                                  D, P) for g in range(G)]
             return main, jnp.concatenate(alts, 0)
 
-        tha, thb = ex2(tsh_v[:GT])
-        gh = _gather_sel(tha, thb, idx) if wide else _lane_gather(tha, idx)
-        p = vh * gh
         if is64:
-            tla, tlb = ex2(tsl_v[:GT])
-            gl = _gather_sel(tla, tlb, idx) if wide else _lane_gather(tla, idx)
-            bh, bl = _split(gh)
             ah, al = _split(vh)
-            e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-            e = e + (vh * gl + (vl * gh + vl * gl))
-            e3 = e.reshape(G, 128, 128)
-        p3 = p.reshape(G, 128, 128)
-        for _lv in range(log2d):
-            half = p3.shape[1] // 2
-            a, b = p3[:, :half], p3[:, half:]
-            ssum = a + b
+        p3_c: list = []
+        e3_c: list = []
+        for c in range(k):
+            tha, thb = ex2(ts_vals[c][:GT])
+            gh = _gather_sel(tha, thb, idx) if wide else _lane_gather(tha, idx)
+            p = vh * gh
             if is64:
-                bb = ssum - a
-                err = (a - (ssum - bb)) + (b - bb)
-                e3 = e3[:, :half] + e3[:, half:] + err
-            p3 = ssum
+                tla, tlb = ex2(ts_vals[k + c][:GT])
+                gl = _gather_sel(tla, tlb, idx) if wide else _lane_gather(tla, idx)
+                bh, bl = _split(gh)
+                e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+                e = e + (vh * gl + (vl * gh + vl * gl))
+                e3 = e.reshape(G, 128, 128)
+            p3 = p.reshape(G, 128, 128)
+            for _lv in range(log2d):
+                half = p3.shape[1] // 2
+                a, b = p3[:, :half], p3[:, half:]
+                ssum = a + b
+                if is64:
+                    bb = ssum - a
+                    err = (a - (ssum - bb)) + (b - bb)
+                    e3 = e3[:, :half] + e3[:, half:] + err
+                p3 = ssum
+            p3_c.append(p3)
+            if is64:
+                e3_c.append(e3)
 
-        # ---- FS: scatter + chain + accumulate for group s-2
-        pf3 = pf_flat.reshape(G, P, 128)
-        ef3 = ef_flat.reshape(G, P, 128) if is64 else None
-        subs_p: list = [None] * G
-        subs_e: list = [None] * G
-        for g in range(G):
-            sp = pf3[g]
-            se = ef3[g] if is64 else None
-            if classpos and log2d == 0:
-                pass
-            elif classpos:
-                mk = _mask_col(meta[G + g : G + g + 1])
-                sp = _expand_tile(sp, D, P) * mk
-                if is64:
-                    se = _expand_tile(se, D, P) * mk
-            else:
-                tensors = (sp, se) if is64 else (sp,)
-                outs = _scatter_exact(meta[g : g + 1], tensors, P)
-                sp = outs[0]
-                if is64:
-                    se = outs[1]
-            subs_p[g] = sp
-            subs_e[g] = se
+        # ---- FS: scatter + chain + accumulate for group s-2, per column
+        GP = G * P
         # FS processes group s-2: its first flag read with the shift applied
         # (warm-up iterations read first2[0] == 1 and write seed + exact
         # zeros — idempotent with the real first write at s == 2)
         first = first2_r[jnp.maximum(jnp.minimum(s - 2, np.int32(n2 - 1)), _Z)]
+        subs_p_c: list = []
+        subs_e_c: list = []
+        for c in range(k):
+            pf3 = pf_flat[c * GP : (c + 1) * GP].reshape(G, P, 128)
+            ef3 = (ef_flat[c * GP : (c + 1) * GP].reshape(G, P, 128)
+                   if is64 else None)
+            subs_p: list = [None] * G
+            subs_e: list = [None] * G
+            for g in range(G):
+                sp = pf3[g]
+                se = ef3[g] if is64 else None
+                if classpos and log2d == 0:
+                    pass
+                elif classpos:
+                    mk = _mask_col(meta[G + g : G + g + 1])
+                    sp = _expand_tile(sp, D, P) * mk
+                    if is64:
+                        se = _expand_tile(se, D, P) * mk
+                else:
+                    tensors = (sp, se) if is64 else (sp,)
+                    outs = _scatter_exact(meta[g : g + 1], tensors, P)
+                    sp = outs[0]
+                    if is64:
+                        se = outs[1]
+                subs_p[g] = sp
+                subs_e[g] = se
+            subs_p_c.append(subs_p)
+            subs_e_c.append(subs_e)
 
-        def chain64(cur, cure, start):
+        def chain64(cur, cure, start, c):
             for g in range(start, G):
-                s1 = cur + subs_p[g]
+                s1 = cur + subs_p_c[c][g]
                 b1 = s1 - cur
-                e1 = (cur - (s1 - b1)) + (subs_p[g] - b1)
-                cure = cure + subs_e[g] + e1
+                e1 = (cur - (s1 - b1)) + (subs_p_c[c][g] - b1)
+                cure = cure + subs_e_c[c][g] + e1
                 cur = s1
             return cur, cure
 
         @pl.when(first == 1)
         def _():
-            if is64:
-                if acc == 2:
-                    cur, cure = chain64(acc_ref[0, :ROUT], acc_ref[0, ROUT:], 0)
+            for c in range(k):
+                hi_sl = slice(c * OW, c * OW + ROUT)
+                er_sl = slice(c * OW + ROUT, (c + 1) * OW)
+                if is64:
+                    if acc == 2:
+                        cur, cure = chain64(acc_ref[0, hi_sl], acc_ref[0, er_sl],
+                                            0, c)
+                    else:
+                        cur, cure = chain64(subs_p_c[c][0], subs_e_c[c][0], 1, c)
+                    o_ref[0, hi_sl] = cur
+                    o_ref[0, er_sl] = cure
                 else:
-                    cur, cure = chain64(subs_p[0], subs_e[0], 1)
-                o_ref[0, :ROUT] = cur
-                o_ref[0, ROUT:] = cure
-            else:
-                tot = acc_ref[0, :ROUT] if acc == 2 else subs_p[0]
-                for g in range(0 if acc == 2 else 1, G):
-                    tot = tot + subs_p[g]
-                o_ref[0, :ROUT] = tot
+                    tot = acc_ref[0, hi_sl] if acc == 2 else subs_p_c[c][0]
+                    for g in range(0 if acc == 2 else 1, G):
+                        tot = tot + subs_p_c[c][g]
+                    o_ref[0, hi_sl] = tot
 
         @pl.when(first == 0)
         def _():
-            if is64:
-                cur, cure = chain64(o_ref[0, :ROUT], o_ref[0, ROUT:], 0)
-                o_ref[0, :ROUT] = cur
-                o_ref[0, ROUT:] = cure
-            else:
-                tot = o_ref[0, :ROUT]
-                for g in range(G):
-                    tot = tot + subs_p[g]
-                o_ref[0, :ROUT] = tot
+            for c in range(k):
+                hi_sl = slice(c * OW, c * OW + ROUT)
+                er_sl = slice(c * OW + ROUT, (c + 1) * OW)
+                if is64:
+                    cur, cure = chain64(o_ref[0, hi_sl], o_ref[0, er_sl], 0, c)
+                    o_ref[0, hi_sl] = cur
+                    o_ref[0, er_sl] = cure
+                else:
+                    tot = o_ref[0, hi_sl]
+                    for g in range(G):
+                        tot = tot + subs_p_c[c][g]
+                    o_ref[0, hi_sl] = tot
 
         # ---- GD stash writes (after FS consumed last iteration's stash)
-        stp_ref[...] = p3.reshape(G * P, 128)
+        stp_ref[...] = jnp.concatenate([p3.reshape(GP, 128) for p3 in p3_c], 0)
         if is64:
-            ste_ref[...] = e3.reshape(G * P, 128)
+            ste_ref[...] = jnp.concatenate([e3.reshape(GP, 128) for e3 in e3_c], 0)
         for g, b in enumerate(bs):
             stm_ref[g : g + 1] = b[nval + 32 + ohw : nval + 33 + ohw]
             stm_ref[G + g : G + g + 1] = b[nval + 33 + ohw : nval + 34 + ohw]
@@ -999,17 +1029,18 @@ def _make_fused3_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
 
 def _call_fused3(csel2, cselb2, hasb2, osel2, first2, packed_f, chunks, log2d,
                  wide, nout, is64, dual, classpos, acc=None, acc_mode=0,
-                 dboth=False, G=2):
-    """Pipelined fused call (k=1): grid n2 + 2 with clamped index maps — the
+                 dboth=False, G=2, k=1):
+    """Pipelined fused call: grid n2 + 2 with clamped index maps — the
     packed block is delivered one iteration late (GD stage), the chunk blocks
     and a one-hot stream one iteration early (TB stage), and the out/acc
     blocks two late (FS stage).  The shifted prefetch arrays and the one-hot
     stream are derived on device from the production group arrays (a few KB
-    per call — negligible next to the bucket's packed DMA)."""
+    per call — negligible next to the bucket's packed DMA).  ``k > 1``:
+    multi-RHS SpMM (per-column tables/stash scratch; shared packed DMA)."""
     n2 = csel2.shape[0]
     W = packed_f.shape[1]
     packed2 = packed_f.reshape(n2, G * W, 128)
-    owidth = (2 if is64 else 1) * ROUT
+    owidth = (2 if is64 else 1) * k * ROUT
     P, boff, ohw, nval, _ = _packed_rows(log2d, is64, wide, 1)
     nrows_t = boff + P if wide else P
     N = n2 + 2
@@ -1050,8 +1081,8 @@ def _call_fused3(csel2, cselb2, hasb2, osel2, first2, packed_f, chunks, log2d,
         io_alias = {5 + len(in_specs) - 1: 0}
     nsets = 2 if is64 else 1
     GT8 = -(-(G * nrows_t) // 8) * 8
-    scratch = ([pltpu.VMEM((GT8, 128), jnp.float32) for _ in range(nsets)]
-               + [pltpu.VMEM((G * P, 128), jnp.float32)
+    scratch = ([pltpu.VMEM((GT8, 128), jnp.float32) for _ in range(nsets * k)]
+               + [pltpu.VMEM((k * G * P, 128), jnp.float32)
                   for _ in range(2 if is64 else 1)]
                + [pltpu.VMEM((max(8, 2 * G), 128), jnp.int32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1067,7 +1098,7 @@ def _call_fused3(csel2, cselb2, hasb2, osel2, first2, packed_f, chunks, log2d,
             + ((acc,) if acc_mode else ()))
     return pl.pallas_call(
         _make_fused3_kernel(log2d, wide, dual, classpos, is64, acc_mode, dboth,
-                            G, n2),
+                            G, n2, k),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nout, owidth, 128), jnp.float32),
         input_output_aliases=io_alias,
@@ -2480,10 +2511,28 @@ def swell_amx(bargs, tail, X, statics, k):
                     hb2 = hasb_s.reshape(-1, Ge).max(axis=1)
                     os2, fi2 = osel_s[::Ge], first_s[::Ge]
                     G = Ge
-                acc = _call_fused(c2, cb2, hb2, os2, fi2, ba[5],
-                                  chunks, log2d, wide, nout, is64, dual,
-                                  classpos, acc=acc, acc_mode=mode, dboth=dboth,
-                                  G=G, k=k)
+                # pipe==3: the 3-stage pipelined variant, same gates as the
+                # SpMV path (VMEM G*P cap covers the per-column stash; the 2
+                # warm-up iterations need >= 16 groups to amortize).  The
+                # multi-RHS variant additionally requires the opt-in pin until
+                # its hardware bit-identity run is recorded (SPMV path IS
+                # verified; this one shares the kernel body but adds the
+                # per-column scratch layout)
+                import os as _os
+
+                if (pipe == 3 and G > 1 and G * (128 >> log2d) <= 512
+                        and int(ba[4].shape[0]) // G >= 16
+                        and (k == 1
+                             or _os.environ.get("SPMV_TPU_PIPE3_SPMM") == "1")):
+                    acc = _call_fused3(c2, cb2, hb2, os2, fi2, ba[5],
+                                       chunks, log2d, wide, nout, is64, dual,
+                                       classpos, acc=acc, acc_mode=mode,
+                                       dboth=dboth, G=G, k=k)
+                else:
+                    acc = _call_fused(c2, cb2, hb2, os2, fi2, ba[5],
+                                      chunks, log2d, wide, nout, is64, dual,
+                                      classpos, acc=acc, acc_mode=mode,
+                                      dboth=dboth, G=G, k=k)
                 continue
             if len(ba) == 11:  # k>1 kernels use the NONPIPE selector set
                 (_cp, _cbp, _hbp, csel, cselb, hasb, osel, first,
