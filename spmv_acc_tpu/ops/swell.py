@@ -1027,6 +1027,22 @@ def _make_fused3_kernel(log2d: int, wide: bool, dual: bool, classpos: bool,
     return kernel
 
 
+def _fused3_arity(G: int, log2d: int, n_padded: int) -> int:
+    """Effective fused3 arity for a bucket, or 1 (= run the plain fused
+    kernel).  Two measured gates: (a) VMEM — the cross-iteration stash +
+    table scratch at Ge*P > 512 blew the 16MB scoped limit (G=8, D=1 on
+    Bump_2911: +116KB over); halve the arity until it fits (the padded
+    buffer is valid at any power-of-two divisor arity); (b) amortization —
+    the pipeline's 2 warm-up iterations only pay for themselves with >= 16
+    groups (af23560's 3-group bucket measured 43 -> 50us)."""
+    Ge = G
+    while Ge > 1 and Ge * (128 >> log2d) > 512:
+        Ge >>= 1
+    if Ge > 1 and n_padded // Ge < 16:
+        Ge = 1
+    return Ge
+
+
 def _call_fused3(csel2, cselb2, hasb2, osel2, first2, packed_f, chunks, log2d,
                  wide, nout, is64, dual, classpos, acc=None, acc_mode=0,
                  dboth=False, G=2, k=1):
@@ -2360,15 +2376,8 @@ def swell_ax(bargs, tail, x, statics):
                 # the way back to the plain fused kernel.
                 G = int(fuseds[i])
                 c2, cb2, hb2, os2, fi2 = ba[7], ba[8], ba[9], ba[10], ba[11]
-                Ge = G
-                if pipe == 3:
-                    while Ge > 1 and Ge * (128 >> log2d) > 512:
-                        Ge >>= 1
-                # the pipeline's two warm-up iterations only amortize on
-                # buckets with enough groups (af23560's 3-group bucket paid
-                # +2 x ~4us iters for a ~10% per-iter gain: 43 -> 50us)
-                if int(ba[4].shape[0]) // Ge < 16:
-                    Ge = 1
+                Ge = (_fused3_arity(G, log2d, int(ba[4].shape[0]))
+                      if pipe == 3 else 1)
                 if pipe == 3 and Ge > 1:
                     if Ge != G:
                         csel_s, cselb_s, hasb_s, osel_s, first_s = ba[:5]
@@ -2520,8 +2529,9 @@ def swell_amx(bargs, tail, X, statics, k):
                 # per-column scratch layout)
                 import os as _os
 
-                if (pipe == 3 and G > 1 and G * (128 >> log2d) <= 512
-                        and int(ba[4].shape[0]) // G >= 16
+                if (pipe == 3
+                        and _fused3_arity(G, log2d, int(ba[4].shape[0])) == G
+                        and G > 1
                         and (k == 1
                              or _os.environ.get("SPMV_TPU_PIPE3_SPMM") == "1")):
                     acc = _call_fused3(c2, cb2, hb2, os2, fi2, ba[5],

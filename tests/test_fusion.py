@@ -145,3 +145,24 @@ def test_fused_cap_arity_divides_g():
             # the cap engages exactly when the G-arity buffers blow VMEM
             if G > max(1, 16 // k):
                 assert Ge < G
+
+
+def test_fused3_arity_gates():
+    """Pin the pipelined-fused (fused3) dispatch gates: the VMEM cap halves
+    the arity until Ge*P <= 512 (G=8 D=1 measured 116KB over the 16MB scoped
+    limit), and buckets with < 16 groups run the plain fused kernel (the two
+    warm-up iterations cost more than the overlap gain there, measured
+    43 -> 50us on af23560's 3-group bucket)."""
+    from spmv_acc_tpu.ops.swell import _fused3_arity
+
+    # VMEM cap: G=8 at D=1 (P=128) halves to 4; deeper layouts keep G
+    assert _fused3_arity(8, 0, 1024) == 4
+    assert _fused3_arity(8, 1, 1024) == 8   # P=64 -> 512 fits
+    assert _fused3_arity(8, 3, 1024) == 8   # P=16
+    assert _fused3_arity(4, 0, 1024) == 4   # 4*128 = 512 fits
+    # group-count gate: few groups -> plain fused (arity 1)
+    assert _fused3_arity(8, 3, 24) == 1     # 3 groups
+    assert _fused3_arity(8, 3, 128) == 8    # 16 groups
+    # VMEM reduction interacts with group count at the REDUCED arity
+    assert _fused3_arity(8, 0, 8 * 16) == 4   # Ge=4 -> 32 groups
+    assert _fused3_arity(2, 0, 16) == 1       # Ge=2 -> 8 groups < 16
