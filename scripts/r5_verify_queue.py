@@ -38,7 +38,7 @@ def step1():
     for pin in ("0", "1"):
         os.environ["SPMV_TPU_PIPE3_SPMM"] = pin
         out = np.asarray(spmm(csr, jnp.asarray(X), jnp.asarray(Y),
-                              strategy="swell"))
+                              alpha=1.0, beta=1.0, strategy="swell"))
         rep = verify_y(out.ravel(), golden.ravel())
         outs[pin] = out
         print(f"  spmm banded k=8 PIPE3_SPMM={pin}: ok={rep.ok} "
