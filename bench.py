@@ -535,10 +535,48 @@ def _clear_device_caches():
     _p.clear_plan_cache()
 
 
+def _wait_backend(log, max_wait_s: float = 1500.0) -> bool:
+    """Probe the TPU backend in a SUBPROCESS before touching it in-process.
+
+    The axon tunnel wedges hard several times per session (observed outages
+    of 25-70 minutes where even jnp.ones(4) hangs at backend init, 2026-08-21).
+    An in-process hang is uninterruptible and would leave the round with NO
+    bench artifact at all; a subprocess probe with a timeout converts the
+    wedge into a bounded wait-and-retry."""
+    t0 = time.perf_counter()
+    attempt = 0
+    while time.perf_counter() - t0 < max_wait_s:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=120, capture_output=True).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            if attempt > 1:
+                print(f"backend probe recovered on attempt {attempt} "
+                      f"({time.perf_counter()-t0:.0f}s)", file=log, flush=True)
+            return True
+        print(f"backend probe attempt {attempt} failed/hung; tunnel likely "
+              f"wedged — waiting ({time.perf_counter()-t0:.0f}s elapsed)",
+              file=log, flush=True)
+        time.sleep(30)
+    return False
+
+
 def main():
     log = sys.stderr
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
+    if not _wait_backend(log):
+        print(json.dumps({"metric": "spmv_roofline_fraction", "value": 0.0,
+                          "unit": "fraction",
+                          "vs_baseline": 0.0,
+                          "error": "TPU backend unreachable (tunnel wedged) "
+                                   "for the entire probe window"}))
+        return 1
     spawn_populate()
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.device_kind}), peak {chip_peak_gbs():.0f} GB/s, "
