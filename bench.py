@@ -535,7 +535,7 @@ def _clear_device_caches():
     _p.clear_plan_cache()
 
 
-def _wait_backend(log, max_wait_s: float = 1500.0) -> bool:
+def _wait_backend(log, max_wait_s: float = 2700.0) -> bool:
     """Probe the TPU backend in a SUBPROCESS before touching it in-process.
 
     The axon tunnel wedges hard several times per session (observed outages
